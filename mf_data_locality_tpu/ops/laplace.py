@@ -1,0 +1,216 @@
+"""Matrix-free vector-Laplace operator (CEED BP4), general-mesh path.
+
+Capability of ``Poisson::LaplaceOperator`` (reference:
+``common_code/poisson_operator.h:74-695``): sum-factorized application of the
+``n_components``-component Laplacian with on-the-fly trilinear geometry.
+
+TPU-native structure (not a translation):
+
+* The reference's SIMD cell batches become the leading cell axis of batched
+  contractions; each 1D sum-factorization step is one batched matmul that XLA
+  tiles onto the MXU (the even-odd scalar factorization the reference uses is
+  a CPU FMA-count optimization with no benefit on a systolic array).
+* Gather/scatter uses per-cell node maps with ``.at[].add`` scatter-adds
+  (conflict-free accumulation is XLA's job); the structured-lattice fast path
+  in :mod:`laplace_structured` removes them entirely.
+* Geometry: 8 trilinear coefficient vectors per cell, Jacobian rebuilt at
+  every quadrature point in registers (``poisson_operator.h:577-604``).
+
+All functions are pure and jit-friendly; :class:`LaplaceOperatorData` is a
+pytree of device arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mf_data_locality_tpu.mesh.box import BoxMesh
+from mf_data_locality_tpu.mesh.dofs import DofLayout
+from mf_data_locality_tpu.ops import geometry, lagrange
+
+
+class LaplaceOperatorData(NamedTuple):
+    """Device-side state of the operator (a pytree; shapes are jit-static)."""
+
+    values: jax.Array  # S: (q, p+1) basis values at quadrature points
+    d_col: jax.Array  # (q, q) collocation derivative on the quadrature grid
+    q_uvw: jax.Array  # (q^3, 3) tensor quadrature points, (u,v,w) per point
+    q_w3: jax.Array  # (q^3,) tensor quadrature weights
+    coeffs: jax.Array  # (n_cells, 8, 3) trilinear geometry coefficients
+    gather: jax.Array  # (n_cells, (p+1)^3) int32 cell-to-node map
+    unconstrained: jax.Array  # (n_nodes,) 1.0 where free, 0.0 where Dirichlet
+
+
+def make_operator(
+    layout: DofLayout,
+    n_q: int | None = None,
+    dtype=jnp.float32,
+) -> LaplaceOperatorData:
+    """Build operator data for a DoF layout; default quadrature q = p + 2.
+
+    (q = p + 2 is the BP4 protocol, ``benchmark.h:290-313``.)
+    """
+    p = layout.degree
+    q = n_q if n_q is not None else p + 2
+    shape = lagrange.make_shape(p, q)
+    qz, qy, qx = np.meshgrid(shape.q_points, shape.q_points, shape.q_points,
+                             indexing="ij")
+    q_uvw = np.stack([qx, qy, qz], axis=-1).reshape(-1, 3)
+    w = shape.q_weights
+    q_w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(-1)
+    coeffs = geometry.trilinear_coefficients(layout.mesh.cell_vertices)
+    return LaplaceOperatorData(
+        values=jnp.asarray(shape.values, dtype=dtype),
+        d_col=jnp.asarray(shape.d_col, dtype=dtype),
+        q_uvw=jnp.asarray(q_uvw, dtype=dtype),
+        q_w3=jnp.asarray(q_w3, dtype=dtype),
+        coeffs=jnp.asarray(coeffs, dtype=dtype),
+        gather=jnp.asarray(layout.gather_map),
+        unconstrained=jnp.asarray(~layout.boundary_node_mask, dtype=dtype),
+    )
+
+
+def _apply_axis(mat: jax.Array, arr: jax.Array, axis: int) -> jax.Array:
+    """Contract ``arr``'s ``axis`` with ``mat``'s second index (batched matmul)."""
+    out = jnp.tensordot(mat, arr, axes=((1,), (axis,)))
+    return jnp.moveaxis(out, 0, axis)
+
+
+def metric_terms(op: LaplaceOperatorData) -> jax.Array:
+    """G = det(J) * w * J^{-1} J^{-T} at all quadrature points: (n_cells, q^3, 3, 3).
+
+    Evaluated on the fly from the 24 geometry floats per cell — the data-
+    locality trade the reference makes (store O(1) per cell, recompute per q).
+    """
+    jac = geometry.jacobian(op.coeffs[:, None], op.q_uvw[None])  # (nc, q3, 3, 3)
+    jinv, det = geometry.invert_3x3(jac)
+    scale = (det * op.q_w3[None, :])[..., None, None]
+    return scale * jnp.einsum("...ab,...cb->...ac", jinv, jinv)
+
+
+def local_apply(op: LaplaceOperatorData, u_loc: jax.Array) -> jax.Array:
+    """Per-cell weak Laplacian: (n_cells, p+1, p+1, p+1, C) -> same shape.
+
+    The 3D hot loop of the reference (``poisson_operator.h:534-666``):
+    interpolate -> collocation gradients -> metric contraction -> transpose.
+    Local axes are (cell, z, y, x, component).
+    """
+    q = op.d_col.shape[0]
+    nc = u_loc.shape[0]
+    n_comp = u_loc.shape[-1]
+
+    # interpolate values to the quadrature lattice, one batched matmul per axis
+    uq = _apply_axis(op.values, u_loc, 1)
+    uq = _apply_axis(op.values, uq, 2)
+    uq = _apply_axis(op.values, uq, 3)
+
+    # collocation gradients on the quadrature lattice (reference: D_col after S)
+    gx = _apply_axis(op.d_col, uq, 3)
+    gy = _apply_axis(op.d_col, uq, 2)
+    gz = _apply_axis(op.d_col, uq, 1)
+    grad = jnp.stack([gx, gy, gz], axis=-2)  # (nc, qz, qy, qx, 3ref, C)
+    grad = grad.reshape(nc, q * q * q, 3, n_comp)
+
+    # metric application, pointwise over (cell, q-point)
+    tmp = jnp.einsum("nqef,nqfc->nqec", metric_terms(op), grad)
+    tmp = tmp.reshape(nc, q, q, q, 3, n_comp)
+
+    # transpose sweep: D^T per direction, summed, then S^T along every axis
+    vq = (_apply_axis(op.d_col.T, tmp[..., 0, :], 3)
+          + _apply_axis(op.d_col.T, tmp[..., 1, :], 2)
+          + _apply_axis(op.d_col.T, tmp[..., 2, :], 1))
+    vq = _apply_axis(op.values.T, vq, 1)
+    vq = _apply_axis(op.values.T, vq, 2)
+    vq = _apply_axis(op.values.T, vq, 3)
+    return vq
+
+
+def apply_cells(op: LaplaceOperatorData, u: jax.Array) -> jax.Array:
+    """Gather -> local apply -> scatter-add (no constraint handling)."""
+    nc, nloc = op.gather.shape
+    p1 = round(nloc ** (1 / 3))
+    n_comp = u.shape[-1]
+    u_loc = u[op.gather].reshape(nc, p1, p1, p1, n_comp)
+    v_loc = local_apply(op, u_loc)
+    out = jnp.zeros_like(u)
+    return out.at[op.gather.reshape(-1)].add(v_loc.reshape(nc * nloc, n_comp))
+
+
+def vmult(op: LaplaceOperatorData, u: jax.Array,
+          constrained_identity: bool = True) -> jax.Array:
+    """Full operator: A u = M K M u (+ (I - M) u), M = unconstrained mask.
+
+    Matches the reference ``vmult`` semantics: constrained DoFs read as zero,
+    receive no contributions, and (optionally) copy through the input
+    (``poisson_operator.h:307-313``).  The merged-CG path uses
+    ``constrained_identity=False`` exactly as ``vmult_with_merged_sums`` does.
+    """
+    mask = op.unconstrained[:, None]
+    v = apply_cells(op, u * mask) * mask
+    if constrained_identity:
+        v = v + u * (1.0 - mask)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Dense reference assembly (validation only; float64 NumPy, independent path)
+# ---------------------------------------------------------------------------
+
+
+def assemble_dense(layout: DofLayout, n_q: int | None = None,
+                   apply_constraints: bool = True) -> np.ndarray:
+    """Dense scalar stiffness matrix by straightforward quadrature assembly.
+
+    Deliberately *not* sum-factorized — an independent implementation used to
+    validate the matrix-free kernels on tiny meshes.  Returns the scalar
+    (one-component) matrix of shape (n_nodes, n_nodes); the vector operator is
+    block-diagonal with this block per component.
+    """
+    p = layout.degree
+    q = n_q if n_q is not None else p + 2
+    shape = lagrange.make_shape(p, q)
+    nloc = (p + 1) ** 3
+
+    # full basis gradient table: grad_phi[a, qpt, e]
+    V, D = shape.values, shape.grads
+    gphi = np.zeros((nloc, q**3, 3))
+    a = 0
+    for k in range(p + 1):  # z
+        for j in range(p + 1):  # y
+            for i in range(p + 1):  # x
+                gu = np.einsum("c,b,a->cba", V[:, k], V[:, j], D[:, i]).reshape(-1)
+                gv = np.einsum("c,b,a->cba", V[:, k], D[:, j], V[:, i]).reshape(-1)
+                gw = np.einsum("c,b,a->cba", D[:, k], V[:, j], V[:, i]).reshape(-1)
+                gphi[a] = np.stack([gu, gv, gw], axis=-1)
+                a += 1
+
+    qz, qy, qx = np.meshgrid(shape.q_points, shape.q_points, shape.q_points,
+                             indexing="ij")
+    uvw = np.stack([qx, qy, qz], axis=-1).reshape(-1, 3)
+    w = shape.q_weights
+    w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(-1)
+
+    coeffs = geometry.trilinear_coefficients(layout.mesh.cell_vertices)
+    jac = geometry.jacobian(coeffs[:, None], uvw[None])
+    jinv, det = geometry.invert_3x3(jac)
+    G = (det * w3[None])[..., None, None] * np.einsum("...ab,...cb->...ac", jinv, jinv)
+
+    K_loc = np.einsum("aqe,nqef,bqf->nab", gphi, G, gphi)  # (n_cells, nloc, nloc)
+
+    n = layout.n_nodes
+    K = np.zeros((n, n))
+    gmap = layout.gather_map
+    for c in range(layout.mesh.n_cells):
+        idx = gmap[c]
+        K[np.ix_(idx, idx)] += K_loc[c]
+
+    if apply_constraints:
+        m = layout.boundary_node_mask
+        K[m, :] = 0.0
+        K[:, m] = 0.0
+        K[m, m] = 1.0
+    return K

@@ -8,11 +8,15 @@ operator/solver kernels can be validated at full precision.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness environment pins JAX_PLATFORMS=axon (remote TPU tunnel) and a
+# sitecustomize imports jax before this file runs, so the env var alone is
+# ignored — jax.config.update is required to retarget the backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
