@@ -162,17 +162,24 @@ def vmult(op: LaplaceOperatorData, u: jax.Array,
 
 
 def assemble_dense(layout: DofLayout, n_q: int | None = None,
-                   apply_constraints: bool = True) -> np.ndarray:
+                   apply_constraints: bool = True,
+                   rule: str = "gauss") -> np.ndarray:
     """Dense scalar stiffness matrix by straightforward quadrature assembly.
 
     Deliberately *not* sum-factorized — an independent implementation used to
     validate the matrix-free kernels on tiny meshes.  Returns the scalar
     (one-component) matrix of shape (n_nodes, n_nodes); the vector operator is
-    block-diagonal with this block per component.
+    block-diagonal with this block per component.  ``rule="gll"`` reproduces
+    the under-integrated GLL(p+1) operator the preconditioner diagonal is
+    built from (``benchmark.h:124-154``).
     """
     p = layout.degree
-    q = n_q if n_q is not None else p + 2
-    shape = lagrange.make_shape(p, q)
+    if rule == "gll":
+        shape = lagrange.make_shape_gll(p)
+        q = p + 1
+    else:
+        q = n_q if n_q is not None else p + 2
+        shape = lagrange.make_shape(p, q)
     nloc = (p + 1) ** 3
 
     # full basis gradient table: grad_phi[a, qpt, e]

@@ -1,0 +1,86 @@
+"""Baseline preconditioned conjugate gradient.
+
+Capability of the ``benchmark_precond`` executable: stock deal.II ``SolverCG``
+with ``ReductionControl(100, 1e-15, 1e-8)`` (reference:
+``benchmark_precond/bench.cc:4-25``).  This is the *textbook* algorithm — 3
+separate reductions and several distinct vector sweeps per iteration — kept
+deliberately un-merged as the comparison baseline for the fused solver in
+:mod:`cg_merged`.
+
+The whole solve runs on device inside ``lax.while_loop`` (the TPU analog of
+the reference's CPU loop: no host round-trips; the convergence check is a
+device scalar).  The preconditioner is the node-blocked Jacobi vector — one
+scalar per node, broadcast across components (``diagonal_matrix_blocked.h``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SolveResult(NamedTuple):
+    x: jax.Array
+    n_iterations: jax.Array  # int32 scalar
+    res_norm: jax.Array  # final (monitored) residual norm
+    res_history: jax.Array  # (max_iter + 1,) monitored norms; NaN where unused
+    converged: jax.Array  # bool scalar
+
+
+def _prec_apply(prec: jax.Array, v: jax.Array) -> jax.Array:
+    """Node-blocked Jacobi: one diagonal entry per node, all components."""
+    return prec[:, None] * v
+
+
+def cg_solve(
+    a_apply: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    prec: jax.Array,
+    x0: jax.Array | None = None,
+    max_iter: int = 100,
+    abs_tol: float = 1e-15,
+    rel_tol: float = 1e-8,
+) -> SolveResult:
+    """Textbook PCG solving A x = b to ``max(abs_tol, rel_tol * ||r0||)``.
+
+    ``a_apply`` must be linear-symmetric-positive-definite on the masked
+    subspace; ``b`` of shape (n_nodes, C); ``prec`` the inverse node diagonal
+    (n_nodes,).  Iteration counting matches deal.II's ``ReductionControl``:
+    the initial residual is "step 0"; each iteration increments by one and is
+    checked after updating the residual.
+    """
+    dtype = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    r = b - a_apply(x) if x0 is not None else b
+    res0 = jnp.sqrt(jnp.vdot(r, r).real.astype(dtype))
+    tol = jnp.maximum(jnp.asarray(abs_tol, dtype), rel_tol * res0)
+
+    z = _prec_apply(prec, r)
+    p = z
+    rz = jnp.vdot(r, z).real.astype(dtype)
+    history = jnp.full((max_iter + 1,), jnp.nan, dtype=dtype).at[0].set(res0)
+
+    def cond(state):
+        _, _, _, _, res, it, _ = state
+        return (res > tol) & (it < max_iter)
+
+    def body(state):
+        x, r, p, rz, _, it, hist = state
+        ap = a_apply(p)
+        alpha = rz / jnp.vdot(p, ap).real.astype(dtype)
+        x = x + alpha * p
+        r = r - alpha * ap
+        res = jnp.sqrt(jnp.vdot(r, r).real.astype(dtype))
+        z = _prec_apply(prec, r)
+        rz_new = jnp.vdot(r, z).real.astype(dtype)
+        beta = rz_new / rz
+        p = z + beta * p
+        it = it + 1
+        return x, r, p, rz_new, res, it, hist.at[it].set(res)
+
+    state = (x, r, p, rz, res0, jnp.asarray(0, jnp.int32), history)
+    x, r, p, rz, res, it, history = jax.lax.while_loop(cond, body, state)
+    return SolveResult(x, it, res, history, res <= tol)

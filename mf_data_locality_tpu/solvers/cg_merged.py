@@ -1,0 +1,134 @@
+"""Fully-merged conjugate gradient: one reduction of 7 scalars per iteration.
+
+Capability of ``SolverCGFullMerge`` + ``do_cg_update3b/4b`` (reference:
+``common_code/solver_cg_optimized.h:12-161,190-302``), the repository's
+headline contribution.  Per iteration the classical PCG needs 2-3 separate
+all-reduces and ~4 distinct sweeps over the vectors; this formulation:
+
+* rearranges the recurrences so all reduction data for one iteration comes
+  from **seven fused dot products** over (g, d, h, prec) — a single
+  length-7 reduction (reference: one ``MPI_Allreduce`` of 7 doubles,
+  ``poisson_operator.h:373-375``; here: one fused XLA reduction, and a single
+  ``psum`` over the device mesh when distributed);
+* estimates the new residual norm from those sums via the sigma-trick
+  ``||r + alpha h||^2 = s3 + 2 alpha s2 + alpha^2 s1`` — no extra pass;
+* **delays the x update**: x is touched only every second iteration with the
+  two-step combined coefficient ``x += (alpha_k + alpha_{k-1}/beta_{k-1}) p_k
+  + (alpha_{k-1}/beta_{k-1}) P g_{k-1}`` (derived from
+  ``p_k = beta_{k-1} p_{k-1} - P g_{k-1}``), halving x-traffic;
+* uses the Polak-Ribiere-form ``beta = alpha (s4 + alpha s5) / s6`` so beta
+  needs no extra reduction.
+
+On TPU the reference's pre/post range callbacks (vector updates fused into
+the operator's cell sweep) become *compiler-level* fusion: the whole
+iteration body — update4b, operator apply, update3b — is one jitted region,
+so XLA fuses the elementwise sweeps with the gather/scatter edges of the
+operator.  State convention: ``g = A x - b`` (the reference's sign), search
+direction d with ``x += alpha d``.
+
+The solve matches the reference recurrence exactly, so float64 runs agree
+with a textbook PCG run to roundoff and iteration counts are identical —
+the reference's own correctness invariant (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from mf_data_locality_tpu.solvers.cg import SolveResult
+
+
+def merged_cg_solve(
+    a_apply: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    prec: jax.Array,
+    max_iter: int = 100,
+    abs_tol: float = 1e-15,
+    rel_tol: float = 1e-8,
+    reduce_sums: Callable[[jax.Array], jax.Array] | None = None,
+) -> SolveResult:
+    """Solve A x = b (x0 = 0) with the fully-merged CG.
+
+    ``reduce_sums`` post-processes the 7-vector of local partial sums — the
+    distributed path passes ``lambda s: jax.lax.psum(s, axis_name)`` so the
+    whole iteration has exactly one collective.
+    """
+    dtype = b.dtype
+    if reduce_sums is None:
+        reduce_sums = lambda s: s  # noqa: E731
+
+    def dots7(g, d, h):
+        """The update3b fused dot products (solver_cg_optimized.h:12-61)."""
+        ph = prec[:, None] * h
+        pg = prec[:, None] * g
+        local = jnp.stack([
+            jnp.vdot(d, h), jnp.vdot(h, h), jnp.vdot(g, h), jnp.vdot(g, g),
+            jnp.vdot(g, ph), jnp.vdot(h, ph), jnp.vdot(g, pg),
+        ]).astype(dtype)
+        return reduce_sums(local)
+
+    def update4b(x, g, d, h, alpha, beta, alpha_old_eff, beta_old):
+        """Vector updates preceding the sweep (solver_cg_optimized.h:65-161).
+
+        Three cases keyed exactly as the reference: first iteration
+        (alpha == 0), delayed-x iteration (alpha_old_eff == 0), steady state.
+        """
+        pg = prec[:, None] * g
+
+        def first(_):
+            return x, g, -pg
+
+        def no_x(_):
+            g2 = g + alpha * h
+            return x, g2, beta * d - prec[:, None] * g2
+
+        def steady(_):
+            combined = alpha + alpha_old_eff / beta_old
+            x2 = x + combined * d + (alpha_old_eff / beta_old) * pg
+            g2 = g + alpha * h
+            return x2, g2, beta * d - prec[:, None] * g2
+
+        branch = jnp.where(alpha == 0, 0, jnp.where(alpha_old_eff == 0, 1, 2))
+        return jax.lax.switch(branch, [first, no_x, steady], None)
+
+    # initial residual g = -b for x0 = 0 (solver_cg_optimized.h:221-228)
+    g0 = -b
+    res0 = jnp.sqrt(jnp.vdot(b, b).real.astype(dtype))
+    tol = jnp.maximum(jnp.asarray(abs_tol, dtype), rel_tol * res0)
+    zero = jnp.zeros((), dtype)
+    history = jnp.full((max_iter + 1,), jnp.nan, dtype=dtype).at[0].set(res0)
+    x0 = jnp.zeros_like(b)
+
+    def cond(state):
+        _, _, _, _, _, _, _, _, it, res, _ = state
+        return (res > tol) & (it < max_iter)
+
+    def body(state):
+        x, g, d, h, alpha, beta, alpha_old, beta_old, it, _, hist = state
+        it = it + 1
+        alpha_old_eff = jnp.where(it % 2 == 1, alpha_old, zero)
+        x, g, d = update4b(x, g, d, h, alpha, beta, alpha_old_eff, beta_old)
+        h = a_apply(d)
+        s = dots7(g, d, h)
+        alpha_old, beta_old = alpha, beta
+        alpha = s[6] / s[0]
+        res = jnp.sqrt(jnp.maximum(s[3] + 2 * alpha * s[2] + alpha**2 * s[1], 0.0))
+        beta = alpha * (s[4] + alpha * s[5]) / s[6]
+        return x, g, d, h, alpha, beta, alpha_old, beta_old, it, res, hist.at[it].set(res)
+
+    state = (x0, g0, jnp.zeros_like(b), jnp.zeros_like(b),
+             zero, zero, zero, zero, jnp.asarray(0, jnp.int32), res0, history)
+    x, g, d, h, alpha, beta, alpha_old, beta_old, it, res, history = (
+        jax.lax.while_loop(cond, body, state))
+
+    # delayed-x exit fixup (solver_cg_optimized.h:254-289): odd iteration
+    # counts owe alpha*d; even counts owe the combined two-step update.
+    safe_beta_old = jnp.where(beta_old == 0, 1.0, beta_old)
+    x_odd = x + alpha * d
+    x_even = (x + (alpha + alpha_old / safe_beta_old) * d
+              + (alpha_old / safe_beta_old) * (prec[:, None] * g))
+    x = jnp.where(it == 0, x, jnp.where(it % 2 == 1, x_odd, x_even))
+    return SolveResult(x, it, res, history, res <= tol)
