@@ -1,0 +1,150 @@
+"""BP4 benchmark harness / CLI.
+
+Capability of the reference harness (``common_code/benchmark.h:50-318`` and
+the two ``bench.cc`` executables): degree dispatch, auto size ladder, the 4x
+min-timed CG solve, the 2x50 min-timed matvec, and the fixed-width result
+row::
+
+   p |  q | n_element |     n_dofs |     time/it |   dofs/s/it | itCG | time/matvec
+
+Usage (mirrors the reference positional CLI, ``benchmark.h:280-288``)::
+
+   python -m mf_data_locality_tpu.benchmark <degree> [s] [compact] \
+       [--solver merged|baseline] [--dtype f32|f64|bf16] [--backend ...]
+
+``s < 1`` runs the auto ladder: s starts at 1 + log2(n_devices) and grows
+while (p+1)^3 * 2^s * n_components < 6e6 * n_devices (``benchmark.h:243-257``).
+The degree dispatch table p=1..11 with q=p+2 matches ``benchmark.h:290-313``;
+each (p, q) is a separate jit specialization — the XLA analog of the
+reference's compile-time template instantiations.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from mf_data_locality_tpu.models import bp4
+from mf_data_locality_tpu.utils import timing
+
+DTYPES = {"f32": jnp.float32, "f64": jnp.float64, "bf16": jnp.bfloat16}
+HEADER = (" p |  q | n_element |     n_dofs |     time/it |   dofs/s/it |"
+          " itCG | time/matvec")
+
+
+@dataclass
+class RunResult:
+    degree: int
+    n_q: int
+    n_cells: int
+    n_dofs: int
+    time_per_it: float
+    dofs_per_s_per_it: float
+    n_iterations: int
+    time_per_matvec: float
+    converged: bool
+
+    def row(self) -> str:
+        return (f"{self.degree:2d} | {self.n_q:2d} |{self.n_cells:10d} "
+                f"|{self.n_dofs:11d} | {self.time_per_it:.5e} | "
+                f"{self.dofs_per_s_per_it:.5e} | {self.n_iterations:4d} | "
+                f"{self.time_per_matvec:.5e}")
+
+
+def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
+            backend: str = "structured", verbose: bool = False,
+            solve_repeats: int = 4, matvec_repeats: int = 2,
+            matvec_inner: int = 50) -> RunResult:
+    """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``)."""
+    from functools import partial
+
+    from mf_data_locality_tpu.ops import laplace, laplace_structured
+    from mf_data_locality_tpu.solvers import cg, cg_merged
+
+    problem = bp4.build(s, degree, dtype=dtype, backend=backend)
+    vmult_fn = (laplace_structured.vmult if backend == "structured"
+                else laplace.vmult)
+
+    # operator data passed as jit arguments, not baked-in constants
+    @jax.jit
+    def solve_jit(op, inv_diag, b):
+        a = partial(vmult_fn, op, constrained_identity=(solver == "baseline"))
+        if solver == "merged":
+            return cg_merged.merged_cg_solve(a, b, inv_diag)
+        return cg.cg_solve(a, b, inv_diag)
+
+    args = (problem.op, problem.inv_diag, problem.b)
+    result = jax.block_until_ready(solve_jit(*args))  # warmup & compile
+    n_it = int(result.n_iterations)
+    solver_time = timing.time_min(lambda: solve_jit(*args),
+                                  repeats=solve_repeats, warmup=0)
+
+    @jax.jit
+    def matvec(op, v):
+        return vmult_fn(op, v, constrained_identity=True)
+
+    u = jax.block_until_ready(matvec(problem.op, problem.b))
+    matvec_time = timing.time_min(lambda: matvec(problem.op, u),
+                                  repeats=matvec_repeats,
+                                  inner=matvec_inner, warmup=1)
+
+    if verbose:
+        print(f"  residual history head: "
+              f"{[float(r) for r in result.res_history[:4]]}", file=sys.stderr)
+
+    return RunResult(
+        degree=degree,
+        n_q=degree + 2,
+        n_cells=problem.layout.mesh.n_cells,
+        n_dofs=problem.n_dofs,
+        time_per_it=solver_time / max(n_it, 1),
+        dofs_per_s_per_it=problem.n_dofs / solver_time * n_it,
+        n_iterations=n_it,
+        time_per_matvec=matvec_time,
+        converged=bool(result.converged),
+    )
+
+
+def ladder_sizes(degree: int, n_components: int = 3,
+                 n_devices: int | None = None) -> list[int]:
+    """The reference auto size ladder (``benchmark.h:243-257``)."""
+    nd = n_devices or jax.device_count()
+    s = 1 + int(math.log2(nd))
+    out = []
+    while (degree + 1) ** 3 * (1 << s) * n_components < 6_000_000 * nd:
+        out.append(s)
+        s += 1
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("degree", type=int, nargs="?", default=1)
+    ap.add_argument("s", type=int, nargs="?", default=-1,
+                    help="mesh size exponent (2^s cells); <1 runs the ladder")
+    ap.add_argument("compact", type=int, nargs="?", default=1)
+    ap.add_argument("--solver", choices=["merged", "baseline"], default="merged")
+    ap.add_argument("--dtype", choices=list(DTYPES), default="f32")
+    ap.add_argument("--backend", choices=["structured", "general"],
+                    default="structured")
+    args = ap.parse_args(argv)
+
+    if not 1 <= args.degree <= 11:
+        raise SystemExit("Only degrees 1..11 implemented")  # benchmark.h:313
+
+    dtype = DTYPES[args.dtype]
+    sizes = [args.s] if args.s >= 1 else ladder_sizes(args.degree)
+    print(HEADER)
+    for s in sizes:
+        r = run_one(args.degree, s, solver=args.solver, dtype=dtype,
+                    backend=args.backend, verbose=not args.compact)
+        print(r.row() + ("" if r.converged else "   [not converged]"))
+
+
+if __name__ == "__main__":
+    main()

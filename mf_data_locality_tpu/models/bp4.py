@@ -11,6 +11,14 @@ solvable problem, mirroring the reference harness setup
 * RHS value ``dof_index % 8`` on unconstrained DoFs (``benchmark.h:170-176``)
   with the node-major, component-interleaved index convention.
 
+Two interchangeable operator backends:
+
+* ``"structured"`` (default) — the lattice layout with zero gather/scatter
+  (:mod:`~mf_data_locality_tpu.ops.laplace_structured`); vectors are
+  (C, Nz, Ny, Nx).
+* ``"general"`` — gather/scatter-add for arbitrary hex meshes
+  (:mod:`~mf_data_locality_tpu.ops.laplace`); vectors are (C, n_nodes).
+
 BP4 per the CEED definition pairs with BP3's q = p + 2 rule; scalar variants
 (BP1/BP3 analogues) are available via ``n_components=1``.
 """
@@ -19,6 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -26,28 +35,43 @@ import numpy as np
 
 from mf_data_locality_tpu.mesh.box import BoxMesh
 from mf_data_locality_tpu.mesh.dofs import DofLayout
-from mf_data_locality_tpu.ops import diagonal, laplace
+from mf_data_locality_tpu.ops import diagonal, laplace, laplace_structured
 from mf_data_locality_tpu.solvers import cg, cg_merged
 
 
 @dataclass(frozen=True)
 class BP4Problem:
     layout: DofLayout
-    op: laplace.LaplaceOperatorData
-    inv_diag: jax.Array  # (n_nodes,)
-    b: jax.Array  # (n_nodes, n_components)
+    op: Any  # LaplaceOperatorData | StructuredOperatorData
+    inv_diag: jax.Array  # broadcastable against b
+    b: jax.Array  # (C, n_nodes) or (C, Nz, Ny, Nx)
     n_components: int
+    backend: str
 
     @property
     def n_dofs(self) -> int:
         return self.layout.n_nodes * self.n_components
 
+    @property
+    def a_apply(self) -> Callable[[jax.Array], jax.Array]:
+        """Operator application without constrained identity (merged-CG form)."""
+        if self.backend == "structured":
+            return partial(laplace_structured.vmult, self.op,
+                           constrained_identity=False)
+        return partial(laplace.vmult, self.op, constrained_identity=False)
+
+    @property
+    def a_apply_full(self) -> Callable[[jax.Array], jax.Array]:
+        """Operator with constrained identity (reference vmult semantics)."""
+        if self.backend == "structured":
+            return partial(laplace_structured.vmult, self.op,
+                           constrained_identity=True)
+        return partial(laplace.vmult, self.op, constrained_identity=True)
+
 
 def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
-          n_q: int | None = None) -> BP4Problem:
+          n_q: int | None = None, backend: str = "structured") -> BP4Problem:
     layout = DofLayout(BoxMesh.from_s(s), degree)
-    op = laplace.make_operator(layout, n_q=n_q, dtype=dtype)
-    inv_diag = diagonal.compute_inverse_diagonal(layout, dtype=dtype)
 
     # RHS: dof % 8 on unconstrained DoFs, components interleaved per node
     n = layout.n_nodes
@@ -55,27 +79,35 @@ def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
                  + np.arange(n_components)[None, :])
     b = (dof_index % 8).astype(np.float64)
     b[layout.boundary_node_mask] = 0.0
-    return BP4Problem(
-        layout=layout,
-        op=op,
-        inv_diag=inv_diag,
-        b=jnp.asarray(b, dtype=dtype),
-        n_components=n_components,
-    )
+    b = b.T  # (C, n_nodes)
+
+    inv_diag = diagonal.compute_inverse_diagonal(layout, dtype=dtype)
+
+    if backend == "structured":
+        op = laplace_structured.make_structured_operator(layout, n_q=n_q,
+                                                         dtype=dtype)
+        shape = (n_components,) + layout.n_nodes_axis
+        return BP4Problem(layout, op, inv_diag.reshape((1,) + layout.n_nodes_axis),
+                          jnp.asarray(b.reshape(shape), dtype=dtype),
+                          n_components, backend)
+    if backend == "general":
+        op = laplace.make_operator(layout, n_q=n_q, dtype=dtype)
+        return BP4Problem(layout, op, inv_diag[None, :],
+                          jnp.asarray(b, dtype=dtype), n_components, backend)
+    raise ValueError(f"unknown backend {backend!r}")
 
 
 def solve_baseline(problem: BP4Problem, max_iter: int = 100,
                    rel_tol: float = 1e-8) -> cg.SolveResult:
     """Textbook PCG with full vmult (constrained identity), as bench_precond."""
-    a = partial(laplace.vmult, problem.op)
-    return cg.cg_solve(a, problem.b, problem.inv_diag, max_iter=max_iter,
-                       rel_tol=rel_tol)
+    return cg.cg_solve(problem.a_apply_full, problem.b, problem.inv_diag,
+                       max_iter=max_iter, rel_tol=rel_tol)
 
 
 def solve_merged(problem: BP4Problem, max_iter: int = 100,
                  rel_tol: float = 1e-8) -> cg.SolveResult:
     """Fully-merged CG; operator applied without the constrained-identity
     fixup, exactly like ``vmult_with_merged_sums`` (poisson_operator.h:327-377)."""
-    a = partial(laplace.vmult, problem.op, constrained_identity=False)
-    return cg_merged.merged_cg_solve(a, problem.b, problem.inv_diag,
-                                     max_iter=max_iter, rel_tol=rel_tol)
+    return cg_merged.merged_cg_solve(problem.a_apply, problem.b,
+                                     problem.inv_diag, max_iter=max_iter,
+                                     rel_tol=rel_tol)

@@ -74,7 +74,7 @@ def make_operator(
     )
 
 
-def _apply_axis(mat: jax.Array, arr: jax.Array, axis: int) -> jax.Array:
+def apply_axis(mat: jax.Array, arr: jax.Array, axis: int) -> jax.Array:
     """Contract ``arr``'s ``axis`` with ``mat``'s second index (batched matmul)."""
     out = jnp.tensordot(mat, arr, axes=((1,), (axis,)))
     return jnp.moveaxis(out, 0, axis)
@@ -93,51 +93,54 @@ def metric_terms(op: LaplaceOperatorData) -> jax.Array:
 
 
 def local_apply(op: LaplaceOperatorData, u_loc: jax.Array) -> jax.Array:
-    """Per-cell weak Laplacian: (n_cells, p+1, p+1, p+1, C) -> same shape.
+    """Per-cell weak Laplacian: (C, n_cells, p+1, p+1, p+1) -> same shape.
 
     The 3D hot loop of the reference (``poisson_operator.h:534-666``):
     interpolate -> collocation gradients -> metric contraction -> transpose.
-    Local axes are (cell, z, y, x, component).
+    Local axes are (component, cell, z, y, x) — component-leading so the
+    large cell/lattice axes stay minor-most for TPU tiling.
     """
     q = op.d_col.shape[0]
-    nc = u_loc.shape[0]
-    n_comp = u_loc.shape[-1]
+    n_comp, nc = u_loc.shape[0], u_loc.shape[1]
 
     # interpolate values to the quadrature lattice, one batched matmul per axis
-    uq = _apply_axis(op.values, u_loc, 1)
-    uq = _apply_axis(op.values, uq, 2)
-    uq = _apply_axis(op.values, uq, 3)
+    uq = apply_axis(op.values, u_loc, 2)
+    uq = apply_axis(op.values, uq, 3)
+    uq = apply_axis(op.values, uq, 4)
 
     # collocation gradients on the quadrature lattice (reference: D_col after S)
-    gx = _apply_axis(op.d_col, uq, 3)
-    gy = _apply_axis(op.d_col, uq, 2)
-    gz = _apply_axis(op.d_col, uq, 1)
-    grad = jnp.stack([gx, gy, gz], axis=-2)  # (nc, qz, qy, qx, 3ref, C)
-    grad = grad.reshape(nc, q * q * q, 3, n_comp)
+    gx = apply_axis(op.d_col, uq, 4)
+    gy = apply_axis(op.d_col, uq, 3)
+    gz = apply_axis(op.d_col, uq, 2)
+    grad = jnp.stack([gx, gy, gz], axis=0)  # (3ref, C, nc, qz, qy, qx)
+    grad = grad.reshape(3, n_comp, nc, q * q * q)
 
     # metric application, pointwise over (cell, q-point)
-    tmp = jnp.einsum("nqef,nqfc->nqec", metric_terms(op), grad)
-    tmp = tmp.reshape(nc, q, q, q, 3, n_comp)
+    tmp = jnp.einsum("nqef,fcnq->ecnq", metric_terms(op), grad)
+    tmp = tmp.reshape(3, n_comp, nc, q, q, q)
 
     # transpose sweep: D^T per direction, summed, then S^T along every axis
-    vq = (_apply_axis(op.d_col.T, tmp[..., 0, :], 3)
-          + _apply_axis(op.d_col.T, tmp[..., 1, :], 2)
-          + _apply_axis(op.d_col.T, tmp[..., 2, :], 1))
-    vq = _apply_axis(op.values.T, vq, 1)
-    vq = _apply_axis(op.values.T, vq, 2)
-    vq = _apply_axis(op.values.T, vq, 3)
+    vq = (apply_axis(op.d_col.T, tmp[0], 4)
+          + apply_axis(op.d_col.T, tmp[1], 3)
+          + apply_axis(op.d_col.T, tmp[2], 2))
+    vq = apply_axis(op.values.T, vq, 2)
+    vq = apply_axis(op.values.T, vq, 3)
+    vq = apply_axis(op.values.T, vq, 4)
     return vq
 
 
 def apply_cells(op: LaplaceOperatorData, u: jax.Array) -> jax.Array:
-    """Gather -> local apply -> scatter-add (no constraint handling)."""
+    """Gather -> local apply -> scatter-add (no constraint handling).
+
+    ``u``: (C, n_nodes).
+    """
     nc, nloc = op.gather.shape
     p1 = round(nloc ** (1 / 3))
-    n_comp = u.shape[-1]
-    u_loc = u[op.gather].reshape(nc, p1, p1, p1, n_comp)
+    n_comp = u.shape[0]
+    u_loc = u[:, op.gather].reshape(n_comp, nc, p1, p1, p1)
     v_loc = local_apply(op, u_loc)
     out = jnp.zeros_like(u)
-    return out.at[op.gather.reshape(-1)].add(v_loc.reshape(nc * nloc, n_comp))
+    return out.at[:, op.gather.reshape(-1)].add(v_loc.reshape(n_comp, nc * nloc))
 
 
 def vmult(op: LaplaceOperatorData, u: jax.Array,
@@ -148,8 +151,9 @@ def vmult(op: LaplaceOperatorData, u: jax.Array,
     receive no contributions, and (optionally) copy through the input
     (``poisson_operator.h:307-313``).  The merged-CG path uses
     ``constrained_identity=False`` exactly as ``vmult_with_merged_sums`` does.
+    ``u``: (C, n_nodes).
     """
-    mask = op.unconstrained[:, None]
+    mask = op.unconstrained[None, :]
     v = apply_cells(op, u * mask) * mask
     if constrained_identity:
         v = v + u * (1.0 - mask)

@@ -30,8 +30,12 @@ class SolveResult(NamedTuple):
 
 
 def _prec_apply(prec: jax.Array, v: jax.Array) -> jax.Array:
-    """Node-blocked Jacobi: one diagonal entry per node, all components."""
-    return prec[:, None] * v
+    """Node-blocked Jacobi: one diagonal entry per node, all components.
+
+    ``prec`` must broadcast against ``v`` — for (C, n_nodes) vectors pass the
+    inverse node diagonal as shape (1, n_nodes) or (n_nodes,).
+    """
+    return prec * v
 
 
 def cg_solve(
@@ -46,8 +50,9 @@ def cg_solve(
     """Textbook PCG solving A x = b to ``max(abs_tol, rel_tol * ||r0||)``.
 
     ``a_apply`` must be linear-symmetric-positive-definite on the masked
-    subspace; ``b`` of shape (n_nodes, C); ``prec`` the inverse node diagonal
-    (n_nodes,).  Iteration counting matches deal.II's ``ReductionControl``:
+    subspace; ``b`` of shape (C, n_nodes); ``prec`` the inverse node diagonal,
+    broadcastable against ``b``.  Iteration counting matches deal.II's
+    ``ReductionControl``:
     the initial residual is "step 0"; each iteration increments by one and is
     checked after updating the residual.
     """

@@ -62,8 +62,8 @@ def merged_cg_solve(
 
     def dots7(g, d, h):
         """The update3b fused dot products (solver_cg_optimized.h:12-61)."""
-        ph = prec[:, None] * h
-        pg = prec[:, None] * g
+        ph = prec * h
+        pg = prec * g
         local = jnp.stack([
             jnp.vdot(d, h), jnp.vdot(h, h), jnp.vdot(g, h), jnp.vdot(g, g),
             jnp.vdot(g, ph), jnp.vdot(h, ph), jnp.vdot(g, pg),
@@ -76,20 +76,20 @@ def merged_cg_solve(
         Three cases keyed exactly as the reference: first iteration
         (alpha == 0), delayed-x iteration (alpha_old_eff == 0), steady state.
         """
-        pg = prec[:, None] * g
+        pg = prec * g
 
         def first(_):
             return x, g, -pg
 
         def no_x(_):
             g2 = g + alpha * h
-            return x, g2, beta * d - prec[:, None] * g2
+            return x, g2, beta * d - prec * g2
 
         def steady(_):
             combined = alpha + alpha_old_eff / beta_old
             x2 = x + combined * d + (alpha_old_eff / beta_old) * pg
             g2 = g + alpha * h
-            return x2, g2, beta * d - prec[:, None] * g2
+            return x2, g2, beta * d - prec * g2
 
         branch = jnp.where(alpha == 0, 0, jnp.where(alpha_old_eff == 0, 1, 2))
         return jax.lax.switch(branch, [first, no_x, steady], None)
@@ -129,6 +129,6 @@ def merged_cg_solve(
     safe_beta_old = jnp.where(beta_old == 0, 1.0, beta_old)
     x_odd = x + alpha * d
     x_even = (x + (alpha + alpha_old / safe_beta_old) * d
-              + (alpha_old / safe_beta_old) * (prec[:, None] * g))
+              + (alpha_old / safe_beta_old) * (prec * g))
     x = jnp.where(it == 0, x, jnp.where(it % 2 == 1, x_odd, x_even))
     return SolveResult(x, it, res, history, res <= tol)

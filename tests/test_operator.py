@@ -24,10 +24,10 @@ def test_vmult_matches_dense(s, p):
     layout, op = make(s, p)
     K = laplace.assemble_dense(layout)  # scalar block, constraints applied
     rng = np.random.default_rng(42)
-    u = rng.normal(size=(layout.n_nodes, 3))
+    u = rng.normal(size=(3, layout.n_nodes))
     v = np.asarray(laplace.vmult(op, jnp.asarray(u)))
     # dense vector operator acts per component with the same scalar block
-    expect = np.stack([K @ u[:, c] for c in range(3)], axis=-1)
+    expect = np.stack([K @ u[c] for c in range(3)], axis=0)
     scale = np.abs(expect).max()
     assert np.abs(v - expect).max() < 1e-11 * max(scale, 1.0)
 
@@ -36,8 +36,8 @@ def test_vmult_matches_dense(s, p):
 def test_operator_symmetry(s, p):
     layout, op = make(s, p)
     rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.normal(size=(layout.n_nodes, 3)))
-    y = jnp.asarray(rng.normal(size=(layout.n_nodes, 3)))
+    x = jnp.asarray(rng.normal(size=(3, layout.n_nodes)))
+    y = jnp.asarray(rng.normal(size=(3, layout.n_nodes)))
     ax = laplace.vmult(op, x)
     ay = laplace.vmult(op, y)
     lhs = float(jnp.vdot(y, ax))
@@ -49,7 +49,7 @@ def test_operator_symmetry(s, p):
 def test_nullspace_constants(s, p):
     """Without constraints, K annihilates constant fields in every component."""
     layout, op = make(s, p)
-    u = jnp.ones((layout.n_nodes, 3), dtype=jnp.float64) * jnp.asarray([1.0, -2.0, 0.5])
+    u = jnp.ones((3, layout.n_nodes), dtype=jnp.float64) * jnp.asarray([1.0, -2.0, 0.5])[:, None]
     v = laplace.apply_cells(op, u)
     assert float(jnp.abs(v).max()) < 1e-11
 
@@ -63,18 +63,18 @@ def test_linear_field_exact_gradient(s, p):
     layout, op = make(s, p)
     a = np.array([0.3, -0.7, 1.1])
     lin = layout.node_coords @ a  # scalar linear field
-    u = jnp.asarray(np.stack([lin, 2 * lin, -lin], axis=-1))
+    u = jnp.asarray(np.stack([lin, 2 * lin, -lin], axis=0))
     v = np.asarray(laplace.apply_cells(op, u))
     interior = ~layout.boundary_node_mask
-    assert np.abs(v[interior]).max() < 1e-10
+    assert np.abs(v[:, interior]).max() < 1e-10
 
 
 def test_positive_definite_on_unconstrained():
     layout, op = make(2, 2)
     rng = np.random.default_rng(3)
-    mask = np.asarray(op.unconstrained)[:, None]
+    mask = np.asarray(op.unconstrained)[None, :]
     for _ in range(5):
-        u = rng.normal(size=(layout.n_nodes, 3)) * mask
+        u = rng.normal(size=(3, layout.n_nodes)) * mask
         if np.abs(u).max() == 0:
             continue
         quad = float(jnp.vdot(jnp.asarray(u), laplace.vmult(op, jnp.asarray(u))))
@@ -84,7 +84,7 @@ def test_positive_definite_on_unconstrained():
 def test_constrained_identity_matches_reference_vmult():
     layout, op = make(1, 2)
     rng = np.random.default_rng(5)
-    u = jnp.asarray(rng.normal(size=(layout.n_nodes, 3)))
+    u = jnp.asarray(rng.normal(size=(3, layout.n_nodes)))
     full = np.asarray(laplace.vmult(op, u, constrained_identity=True))
     bc = layout.boundary_node_mask
-    assert np.allclose(full[bc], np.asarray(u)[bc])  # dst[constrained] = src
+    assert np.allclose(full[:, bc], np.asarray(u)[:, bc])  # dst[constrained] = src

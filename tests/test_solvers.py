@@ -88,7 +88,7 @@ def test_solution_matches_direct_solve():
     problem = bp4.build(s=2, degree=2, dtype=jnp.float64)
     K = laplace.assemble_dense(problem.layout)  # constrained scalar block
     b = np.asarray(problem.b)
-    expect = np.stack([np.linalg.solve(K, b[:, c]) for c in range(3)], axis=-1)
+    expect = np.stack([np.linalg.solve(K, b[c]) for c in range(3)], axis=0)
     rm = bp4.solve_merged(problem, rel_tol=1e-12)
     assert np.abs(np.asarray(rm.x) - expect).max() < 1e-9 * np.abs(expect).max()
 
