@@ -63,12 +63,11 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``)."""
     from functools import partial
 
-    from mf_data_locality_tpu.ops import laplace, laplace_structured
+    from mf_data_locality_tpu.models.bp4 import _VMULT
     from mf_data_locality_tpu.solvers import cg, cg_merged
 
     problem = bp4.build(s, degree, dtype=dtype, backend=backend)
-    vmult_fn = (laplace_structured.vmult if backend == "structured"
-                else laplace.vmult)
+    vmult_fn = _VMULT[backend]
 
     # operator data passed as jit arguments, not baked-in constants
     @jax.jit
@@ -79,19 +78,15 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         return cg.cg_solve(a, b, inv_diag)
 
     args = (problem.op, problem.inv_diag, problem.b)
-    result = jax.block_until_ready(solve_jit(*args))  # warmup & compile
+    result = solve_jit(*args)  # warmup & compile
     n_it = int(result.n_iterations)
-    solver_time = timing.time_min(lambda: solve_jit(*args),
-                                  repeats=solve_repeats, warmup=0)
+    # timing by scalar fetch (block_until_ready does not block on tunneled TPUs)
+    solver_time = timing.time_min_fetch(
+        lambda: solve_jit(*args).res_norm, repeats=solve_repeats, warmup=0)
 
-    @jax.jit
-    def matvec(op, v):
-        return vmult_fn(op, v, constrained_identity=True)
-
-    u = jax.block_until_ready(matvec(problem.op, problem.b))
-    matvec_time = timing.time_min(lambda: matvec(problem.op, u),
-                                  repeats=matvec_repeats,
-                                  inner=matvec_inner, warmup=1)
+    matvec_time = timing.time_scan_fetch(
+        lambda v: vmult_fn(problem.op, v, constrained_identity=True),
+        problem.b, inner=matvec_inner, repeats=matvec_repeats)
 
     if verbose:
         print(f"  residual history head: "
@@ -130,8 +125,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("compact", type=int, nargs="?", default=1)
     ap.add_argument("--solver", choices=["merged", "baseline"], default="merged")
     ap.add_argument("--dtype", choices=list(DTYPES), default="f32")
-    ap.add_argument("--backend", choices=["structured", "general"],
-                    default="structured")
+    ap.add_argument("--backend", choices=["pallas", "structured", "general"],
+                    default="pallas")
     args = ap.parse_args(argv)
 
     if not 1 <= args.degree <= 11:

@@ -35,7 +35,7 @@ import numpy as np
 
 from mf_data_locality_tpu.mesh.box import BoxMesh
 from mf_data_locality_tpu.mesh.dofs import DofLayout
-from mf_data_locality_tpu.ops import diagonal, laplace, laplace_structured
+from mf_data_locality_tpu.ops import diagonal, laplace, laplace_pallas, laplace_structured
 from mf_data_locality_tpu.solvers import cg, cg_merged
 
 
@@ -55,22 +55,23 @@ class BP4Problem:
     @property
     def a_apply(self) -> Callable[[jax.Array], jax.Array]:
         """Operator application without constrained identity (merged-CG form)."""
-        if self.backend == "structured":
-            return partial(laplace_structured.vmult, self.op,
-                           constrained_identity=False)
-        return partial(laplace.vmult, self.op, constrained_identity=False)
+        return partial(_VMULT[self.backend], self.op, constrained_identity=False)
 
     @property
     def a_apply_full(self) -> Callable[[jax.Array], jax.Array]:
         """Operator with constrained identity (reference vmult semantics)."""
-        if self.backend == "structured":
-            return partial(laplace_structured.vmult, self.op,
-                           constrained_identity=True)
-        return partial(laplace.vmult, self.op, constrained_identity=True)
+        return partial(_VMULT[self.backend], self.op, constrained_identity=True)
+
+
+_VMULT = {
+    "structured": laplace_structured.vmult,
+    "general": laplace.vmult,
+    "pallas": laplace_pallas.vmult,
+}
 
 
 def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
-          n_q: int | None = None, backend: str = "structured") -> BP4Problem:
+          n_q: int | None = None, backend: str = "pallas") -> BP4Problem:
     layout = DofLayout(BoxMesh.from_s(s), degree)
 
     # RHS: dof % 8 on unconstrained DoFs, components interleaved per node
@@ -83,9 +84,13 @@ def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
 
     inv_diag = diagonal.compute_inverse_diagonal(layout, dtype=dtype)
 
-    if backend == "structured":
-        op = laplace_structured.make_structured_operator(layout, n_q=n_q,
-                                                         dtype=dtype)
+    if backend in ("structured", "pallas"):
+        if backend == "structured":
+            op = laplace_structured.make_structured_operator(layout, n_q=n_q,
+                                                             dtype=dtype)
+        else:
+            op = laplace_pallas.make_pallas_operator(layout, n_q=n_q,
+                                                     dtype=dtype)
         shape = (n_components,) + layout.n_nodes_axis
         return BP4Problem(layout, op, inv_diag.reshape((1,) + layout.n_nodes_axis),
                           jnp.asarray(b.reshape(shape), dtype=dtype),

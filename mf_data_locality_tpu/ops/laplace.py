@@ -75,8 +75,13 @@ def make_operator(
 
 
 def apply_axis(mat: jax.Array, arr: jax.Array, axis: int) -> jax.Array:
-    """Contract ``arr``'s ``axis`` with ``mat``'s second index (batched matmul)."""
-    out = jnp.tensordot(mat, arr, axes=((1,), (axis,)))
+    """Contract ``arr``'s ``axis`` with ``mat``'s second index (batched matmul).
+
+    HIGHEST precision: TPU f32 dots otherwise run one bf16 pass (~1e-3 error),
+    which would poison CG iteration counts.
+    """
+    out = jnp.tensordot(mat, arr, axes=((1,), (axis,)),
+                        precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(out, 0, axis)
 
 

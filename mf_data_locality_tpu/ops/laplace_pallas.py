@@ -1,0 +1,288 @@
+"""Fused Pallas TPU kernel for the BP4 cell-local apply.
+
+The performance-critical realization of the reference hot loop
+(``poisson_operator.h:429-685``), designed for the TPU memory hierarchy
+rather than translated:
+
+* **Cells are vector lanes.** The reference packs 4-8 cells into CPU SIMD
+  lanes; here a block of 128-512 cells forms the minor axis of every VMEM
+  array, so the VPU's (8, 128) lanes and the MXU's 128-wide tiles are always
+  full.
+* **One VMEM-resident kernel.** The pure-XLA path materializes every
+  quadrature-lattice intermediate in HBM (~50x the useful traffic); here the
+  whole chain gradients -> metric -> transpose lives in VMEM.  HBM sees only
+  the per-cell input/output values and 24 geometry floats per cell.
+* **Dense tensor-product matrices on the MXU.** The classic sum factorization
+  minimizes *FLOPs* — a CPU-scalar objective.  On the MXU, contraction
+  matmuls with K = p+1 (2..7) waste >99% of the systolic array, while the
+  dense per-direction gradient matrices ``M_e = (S (x) S (x) D S)`` of shape
+  (q^3, (p+1)^3) give K = 27..343 and run at real MXU rates: ~4x the FLOPs
+  at ~30x the throughput.
+* **Geometry stays 24 floats/cell.**  The Jacobian at all q-points is
+  rebuilt in VMEM as nine (q^3, B) arrays via tiny monomial-derivative
+  matmuls, then inverted in scalarized adjugate form — the same
+  compute-for-bandwidth trade as the reference (SURVEY.md §3.6), executed on
+  the VPU.
+
+The kernel computes per cell block: ``v_loc = sum_e M_e^T (G_ef (M_f u_loc))``
+with ``G = det(J) w J^{-1} J^{-T}``.  Gather/scatter of ``u_loc`` stays
+outside in XLA (structured meshes: reshapes + one transpose — see
+``laplace_structured``), so the kernel itself is mesh-agnostic: any hex mesh
+that can produce ``(p+1)^3``-node cell batches can use it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mf_data_locality_tpu.mesh.dofs import DofLayout
+from mf_data_locality_tpu.ops import geometry, lagrange
+from mf_data_locality_tpu.ops.laplace_structured import (
+    cellify,
+    overlap_add,
+)
+
+
+
+def _dense_gradient_matrices(p: int, q: int) -> tuple[np.ndarray, ...]:
+    """M_x, M_y, M_z of shape (q^3, (p+1)^3); rows/cols lex with x fastest."""
+    shape = lagrange.make_shape(p, q)
+    S, Sg = shape.values, shape.grads
+    return (_tensor3(S, S, Sg), _tensor3(S, Sg, S), _tensor3(Sg, S, S))
+
+
+def _tensor3(az: np.ndarray, ay: np.ndarray, ax: np.ndarray) -> np.ndarray:
+    """Rows (qz,qy,qx) lex (x fastest), cols (k,j,i) lex (i fastest)."""
+    q, p1 = ax.shape
+    out = np.einsum("ck,bj,ai->cbakji", az, ay, ax)
+    return np.ascontiguousarray(out.reshape(q**3, p1**3))
+
+
+def _monomial_derivative_matrices(q_points: np.ndarray) -> tuple[np.ndarray, ...]:
+    """P_du, P_dv, P_dw of shape (q^3, 8): derivative of the trilinear
+    monomials [1,u,v,uv,w,uw,vw,uvw] at every tensor quadrature point."""
+    qp = q_points
+    n = qp.size
+    w, v, u = np.meshgrid(qp, qp, qp, indexing="ij")  # (qz, qy, qx)
+    u, v, w = u.reshape(-1), v.reshape(-1), w.reshape(-1)
+    zero = np.zeros(n**3)
+    one = np.ones(n**3)
+    pdu = np.stack([zero, one, zero, v, zero, w, zero, v * w], axis=1)
+    pdv = np.stack([zero, zero, one, u, zero, zero, w, u * w], axis=1)
+    pdw = np.stack([zero, zero, zero, zero, one, u, v, u * v], axis=1)
+    return pdu, pdv, pdw
+
+
+def _block_size(p: int) -> int:
+    """Cells per kernel block; sized so VMEM working set stays ~<= 8 MB."""
+    return {1: 1024, 2: 512, 3: 256, 4: 128, 5: 128, 6: 128}.get(p, 128)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PallasOperatorData:
+    """Pytree for the Pallas-kernel operator; block/n_cells are static."""
+
+    mats: jax.Array  # (3, q^3, (p+1)^3) dense gradient matrices
+    pds: jax.Array  # (3, q^3, 8) monomial derivative matrices
+    w3: jax.Array  # (q^3, 1) tensor quadrature weights
+    coeffs: jax.Array  # (3, 8, nc_pad) trilinear coefficients, cell-minor
+    mask: jax.Array  # (1, Nz, Ny, Nx)
+    block: int = field(metadata=dict(static=True), default=128)
+    n_cells: int = field(metadata=dict(static=True), default=0)
+
+
+def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
+                         dtype=jnp.float32,
+                         block: int | None = None) -> PallasOperatorData:
+    p = layout.degree
+    q = n_q if n_q is not None else p + 2
+    shape = lagrange.make_shape(p, q)
+    B = block or _block_size(p)
+
+    mats = np.stack(_dense_gradient_matrices(p, q))
+    pds = np.stack(_monomial_derivative_matrices(shape.q_points))
+    w = shape.q_weights
+    w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(-1, 1)
+
+    nc = layout.mesh.n_cells
+    nc_pad = -(-nc // B) * B
+    coeffs = geometry.trilinear_coefficients(layout.mesh.cell_vertices)
+    co = np.zeros((3, 8, nc_pad))
+    co[:, :, :nc] = coeffs.transpose(2, 1, 0)
+    # dummy cells: unit geometry so det = 1 (reference pads inactive SIMD
+    # lanes the same way, poisson_operator.h:269-280)
+    co[0, 1, nc:] = 1.0
+    co[1, 2, nc:] = 1.0
+    co[2, 4, nc:] = 1.0
+
+    nz, ny, nx = layout.n_nodes_axis
+    mask = (~layout.boundary_node_mask).reshape(1, nz, ny, nx)
+    return PallasOperatorData(
+        mats=jnp.asarray(mats, dtype=dtype),
+        pds=jnp.asarray(pds, dtype=dtype),
+        w3=jnp.asarray(w3, dtype=dtype),
+        coeffs=jnp.asarray(co, dtype=dtype),
+        mask=jnp.asarray(mask, dtype=dtype),
+        block=B,
+        n_cells=nc,
+    )
+
+
+def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
+    """One cell block: v_loc = sum_e M_e^T diag(G) M_f u_loc, VMEM-resident."""
+    p13 = u_ref.shape[0]
+    n_comp = u_ref.shape[1]
+    B = u_ref.shape[2]
+    q3 = w3_ref.shape[0]
+    f32 = jnp.float32 if u_ref.dtype in (jnp.float32, jnp.bfloat16) else u_ref.dtype
+    # TPU f32 dots default to one bf16 pass (~1e-3 error); HIGHEST selects the
+    # exact f32 (bf16x6) path — the operator must be accurate to f32 eps or CG
+    # iteration counts drift (the reference runs f64 end to end).
+    prec = jax.lax.Precision.HIGHEST
+
+    u = u_ref[:].reshape(p13, n_comp * B)
+
+    # reference-space gradients at all q-points: three MXU matmuls
+    g = [jnp.dot(mats_ref[e], u, preferred_element_type=f32,
+                 precision=prec).reshape(q3, n_comp, B)
+         for e in range(3)]
+
+    # Jacobian entries j[d][e] = P_e @ coeffs[d]: nine (q3, 8)x(8, B) matmuls
+    co = co_ref[:]
+    j = [[jnp.dot(pds_ref[e], co[d], preferred_element_type=f32, precision=prec)
+          for e in range(3)] for d in range(3)]
+
+    # adjugate and determinant, scalarized on (q3, B) arrays (VPU)
+    adj = [[None] * 3 for _ in range(3)]
+    adj[0][0] = j[1][1] * j[2][2] - j[1][2] * j[2][1]
+    adj[0][1] = j[0][2] * j[2][1] - j[0][1] * j[2][2]
+    adj[0][2] = j[0][1] * j[1][2] - j[0][2] * j[1][1]
+    adj[1][0] = j[1][2] * j[2][0] - j[1][0] * j[2][2]
+    adj[1][1] = j[0][0] * j[2][2] - j[0][2] * j[2][0]
+    adj[1][2] = j[0][2] * j[1][0] - j[0][0] * j[1][2]
+    adj[2][0] = j[1][0] * j[2][1] - j[1][1] * j[2][0]
+    adj[2][1] = j[0][1] * j[2][0] - j[0][0] * j[2][1]
+    adj[2][2] = j[0][0] * j[1][1] - j[0][1] * j[1][0]
+    det = j[0][0] * adj[0][0] + j[0][1] * adj[1][0] + j[0][2] * adj[2][0]
+    scale = w3_ref[:] / det
+
+    def gmat(e, f):
+        return (scale * (adj[e][0] * adj[f][0] + adj[e][1] * adj[f][1]
+                         + adj[e][2] * adj[f][2]))[:, None, :]
+
+    g00, g01, g02 = gmat(0, 0), gmat(0, 1), gmat(0, 2)
+    g11, g12, g22 = gmat(1, 1), gmat(1, 2), gmat(2, 2)
+    t0 = (g00 * g[0] + g01 * g[1] + g02 * g[2]).reshape(q3, n_comp * B)
+    t1 = (g01 * g[0] + g11 * g[1] + g12 * g[2]).reshape(q3, n_comp * B)
+    t2 = (g02 * g[0] + g12 * g[1] + g22 * g[2]).reshape(q3, n_comp * B)
+
+    # transpose apply: contract over q^3 (first axis of M_e) — MXU again
+    dn = (((0,), (0,)), ((), ()))
+    v = (jax.lax.dot_general(mats_ref[0], t0, dn, preferred_element_type=f32,
+                             precision=prec)
+         + jax.lax.dot_general(mats_ref[1], t1, dn, preferred_element_type=f32,
+                               precision=prec)
+         + jax.lax.dot_general(mats_ref[2], t2, dn, preferred_element_type=f32,
+                               precision=prec))
+    out_ref[:] = v.reshape(p13, n_comp, B).astype(out_ref.dtype)
+
+
+def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
+                        interpret: bool | None = None) -> jax.Array:
+    """Run the fused kernel over all cell blocks.
+
+    ``u_loc``: (p1^3, C, nc_pad) -> same shape.  ``interpret=None`` selects
+    the Pallas interpreter automatically on CPU backends (tests / fallback).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p13, n_comp, nc_pad = u_loc.shape
+    B = op.block
+    q3 = op.w3.shape[0]
+    grid = (nc_pad // B,)
+
+    flops_per_block = (6 * q3 * p13 * n_comp + 9 * q3 * 8 + 80 * q3) * B * 2
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, q3, p13), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, q3, 8), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q3, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p13, n_comp, B), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 8, B), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((p13, n_comp, B), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(u_loc.shape, u_loc.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_block * grid[0],
+            bytes_accessed=(2 * p13 * n_comp + 24) * nc_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(op.mats, op.pds, op.w3, u_loc, op.coeffs)
+
+
+def _to_cell_batches(u: jax.Array, p: int, nc_pad: int) -> jax.Array:
+    """(C, Nz, Ny, Nx) lattice -> (p1^3, C, nc_pad) cell batches."""
+    t = cellify(u, 3, p)
+    t = cellify(t, 2, p)
+    t = cellify(t, 1, p)  # (C, ncz, p1, ncy, p1, ncx, p1)
+    t = t.transpose(2, 4, 6, 0, 1, 3, 5)  # (p1z, p1y, p1x, C, ncz, ncy, ncx)
+    p13 = t.shape[0] * t.shape[1] * t.shape[2]
+    n_comp = t.shape[3]
+    nc = t.shape[4] * t.shape[5] * t.shape[6]
+    t = t.reshape(p13, n_comp, nc)
+    if nc_pad > nc:
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, nc_pad - nc)))
+    return t
+
+
+def _from_cell_batches(v: jax.Array, p: int, n_cells_axis) -> jax.Array:
+    """(p1^3, C, nc_pad) -> (C, Nz, Ny, Nx) with overlap accumulation."""
+    ncz, ncy, ncx = n_cells_axis
+    nc = ncz * ncy * ncx
+    p1 = p + 1
+    n_comp = v.shape[1]
+    v = v[:, :, :nc].reshape(p1, p1, p1, n_comp, ncz, ncy, ncx)
+    v = v.transpose(3, 4, 0, 5, 1, 6, 2)  # (C, ncz, p1, ncy, p1, ncx, p1)
+    v = overlap_add(v, 1, p)
+    v = overlap_add(v, 2, p)
+    v = overlap_add(v, 3, p)
+    return v
+
+
+def apply_lattice(op: PallasOperatorData, u: jax.Array,
+                  interpret: bool | None = None) -> jax.Array:
+    """Weak vector-Laplacian on the lattice via the fused kernel."""
+    p1 = round(op.mats.shape[2] ** (1 / 3))
+    p = p1 - 1
+    nc_pad = op.coeffs.shape[2]
+    ncz = (u.shape[1] - 1) // p
+    ncy = (u.shape[2] - 1) // p
+    ncx = (u.shape[3] - 1) // p
+    u_loc = _to_cell_batches(u, p, nc_pad)
+    v_loc = apply_local_batched(op, u_loc, interpret=interpret)
+    return _from_cell_batches(v_loc, p, (ncz, ncy, ncx))
+
+
+def vmult(op: PallasOperatorData, u: jax.Array,
+          constrained_identity: bool = True,
+          interpret: bool | None = None) -> jax.Array:
+    """Full operator with Dirichlet masking; semantics as ``laplace.vmult``."""
+    v = apply_lattice(op, u * op.mask, interpret=interpret) * op.mask
+    if constrained_identity:
+        v = v + u * (1.0 - op.mask)
+    return v

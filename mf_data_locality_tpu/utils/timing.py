@@ -1,9 +1,14 @@
 """Benchmark timing protocol.
 
 Reproduces the reference measurement protocol (``common_code/benchmark.h:
-184-215``): min over repeats of wall time, separate warmup before timing
-(``curved_manifold.h:90-106`` — here: jit compile + one discarded run), and
-``jax.block_until_ready`` in place of MPI barriers.
+184-215``): min over repeats of wall time, warmup before timing
+(``curved_manifold.h:90-106`` — here: jit compile + one discarded run).
+
+Completion handling: on tunneled TPU backends (platform "axon"),
+``jax.block_until_ready`` does NOT block, so all timings here are based on
+fetching a scalar result to the host, with the measured round-trip latency
+subtracted.  Kernel-scale timings amortize further by scanning K applications
+inside one jitted computation.
 """
 
 from __future__ import annotations
@@ -12,46 +17,74 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+
+_LATENCY: float | None = None
 
 
-def time_min(fn: Callable[[], object], repeats: int, inner: int = 1,
-             warmup: int = 1) -> float:
-    """Min over ``repeats`` of (wall time of ``inner`` back-to-back calls)/inner.
-
-    ``fn`` must return a JAX array (or pytree ending in one) so completion can
-    be observed with ``block_until_ready``.
-    """
-    for _ in range(warmup):
-        out = fn()
-        jax.block_until_ready(out)
+def round_trip_latency(refresh: bool = False) -> float:
+    """Host->device->host latency for a trivial jitted scalar fetch."""
+    global _LATENCY
+    if _LATENCY is not None and not refresh:
+        return _LATENCY
+    f = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros(())
+    float(f(z))  # compile
     best = float("inf")
-    for _ in range(repeats):
+    for _ in range(10):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(inner):
-            out = fn()
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / inner)
+        float(f(z))
+        best = min(best, time.perf_counter() - t0)
+    _LATENCY = best
     return best
 
 
-def measure_hbm_bandwidth(nbytes: int = 1 << 28, dtype=None) -> float:
+def time_min_fetch(fn: Callable[[], jax.Array], repeats: int,
+                   warmup: int = 1) -> float:
+    """Min over ``repeats`` of the wall time of ``float(fn())``, latency-corrected.
+
+    ``fn`` must return a scalar jax array whose value depends on the full
+    computation being timed (fetching it forces execution).
+    """
+    for _ in range(warmup):
+        float(fn())
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn())
+        best = min(best, time.perf_counter() - t0)
+    return max(best - round_trip_latency(), 1e-9)
+
+
+def time_scan_fetch(step: Callable[[jax.Array], jax.Array], x0: jax.Array,
+                    inner: int, repeats: int, warmup: int = 1) -> float:
+    """Time one application of ``step`` by scanning ``inner`` applications
+    inside a single jitted computation and fetching one scalar.
+
+    The analog of the reference's 50-matvec inner loop
+    (``benchmark.h:204-215``), with device-side chaining so per-call dispatch
+    latency is amortized away.
+    """
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            return step(c), None
+        out, _ = jax.lax.scan(body, x, None, length=inner)
+        return out.ravel()[0]
+
+    t = time_min_fetch(lambda: chain(x0), repeats=repeats, warmup=warmup)
+    return t / inner
+
+
+def measure_hbm_bandwidth(nbytes: int = 1 << 28) -> float:
     """Measured triad-style HBM bandwidth (bytes/s) on the default device.
 
     Used to compute the roofline the matvec is judged against
     (BASELINE.md: >= 80% of per-chip HBM roofline).
     """
-    import jax.numpy as jnp
-
-    dtype = dtype or jnp.float32
-    n = nbytes // dtype.dtype.itemsize if hasattr(dtype, "dtype") else nbytes // 4
-    a = jnp.ones((n,), dtype=dtype)
-    b = jnp.full((n,), 2.0, dtype=dtype)
-
-    @jax.jit
-    def triad(a, b):
-        return a + 0.5 * b
-
-    t = time_min(lambda: triad(a, b), repeats=5, warmup=2)
-    # traffic: read a + read b + write out
-    return 3 * n * a.dtype.itemsize / t
+    n = nbytes // 4
+    a = jnp.ones((n,), jnp.float32)
+    b = jnp.full((n,), 2.0, jnp.float32)
+    t = time_scan_fetch(lambda x: x + 0.5 * b, a, inner=20, repeats=3, warmup=1)
+    return 3 * n * 4 / t

@@ -22,7 +22,7 @@ def problem():
 
 
 def true_residual(problem, x):
-    r = problem.b - laplace.vmult(problem.op, x)
+    r = problem.b - problem.a_apply_full(x)
     return float(jnp.linalg.norm(r) / jnp.linalg.norm(problem.b))
 
 
@@ -70,15 +70,13 @@ def test_monitored_residual_is_true_residual(problem):
     """The sigma-trick residual estimate equals ||b - A x_k|| in exact arithmetic."""
     for k in (3, 6):
         rm = bp4.solve_merged(problem, max_iter=k, rel_tol=0.0)
-        tr = float(jnp.linalg.norm(problem.b - laplace.vmult(problem.op, rm.x)))
+        tr = float(jnp.linalg.norm(problem.b - problem.a_apply_full(rm.x)))
         assert np.isclose(float(rm.res_norm), tr, rtol=1e-8)
 
 
 def test_zero_rhs_short_circuits(problem):
     zero_b = jnp.zeros_like(problem.b)
-    res = cg_merged.merged_cg_solve(
-        lambda u: laplace.vmult(problem.op, u, constrained_identity=False),
-        zero_b, problem.inv_diag)
+    res = cg_merged.merged_cg_solve(problem.a_apply, zero_b, problem.inv_diag)
     assert int(res.n_iterations) == 0
     assert float(jnp.abs(res.x).max()) == 0.0
 
@@ -87,10 +85,11 @@ def test_solution_matches_direct_solve():
     """End-to-end vs dense LU on a tiny problem (independent path)."""
     problem = bp4.build(s=2, degree=2, dtype=jnp.float64)
     K = laplace.assemble_dense(problem.layout)  # constrained scalar block
-    b = np.asarray(problem.b)
+    b = np.asarray(problem.b).reshape(3, -1)
     expect = np.stack([np.linalg.solve(K, b[c]) for c in range(3)], axis=0)
     rm = bp4.solve_merged(problem, rel_tol=1e-12)
-    assert np.abs(np.asarray(rm.x) - expect).max() < 1e-9 * np.abs(expect).max()
+    got = np.asarray(rm.x).reshape(3, -1)
+    assert np.abs(got - expect).max() < 1e-9 * np.abs(expect).max()
 
 
 def test_iteration_counts_reasonable(problem):

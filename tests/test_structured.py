@@ -62,3 +62,21 @@ def test_structured_jit_and_shapes():
     f = jax.jit(lambda v: ls.vmult(op_s, v))
     out = f(u)
     assert out.shape == u.shape and out.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("s,p", [(3, 2), (1, 3), (0, 1)])
+def test_pallas_kernel_matches_general(s, p):
+    """Fused Pallas kernel (interpret mode on CPU) vs general operator, f64."""
+    import jax
+
+    from mf_data_locality_tpu.ops import laplace_pallas as lp
+
+    layout = DofLayout(BoxMesh.from_s(s), p)
+    op_g = laplace.make_operator(layout, dtype=jnp.float64)
+    op_p = lp.make_pallas_operator(layout, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(3, layout.n_nodes)))
+    vg = np.asarray(laplace.vmult(op_g, u))
+    ul = u.reshape((3,) + layout.n_nodes_axis)
+    vp = np.asarray(lp.vmult(op_p, ul, interpret=True)).reshape(3, -1)
+    assert np.abs(vp - vg).max() < 1e-12 * np.abs(vg).max()
