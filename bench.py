@@ -1,0 +1,47 @@
+"""Headline benchmark: BP4 merged-CG throughput on the local TPU chip.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+Metric: DoFs/s per CG iteration of the fully-merged solver (the CEED
+throughput metric, ``benchmark.h:222``) at p=4 on the largest ladder-typical
+single-chip size.  ``vs_baseline``: fraction of the per-chip HBM-bandwidth
+roofline, computed from the measured triad bandwidth and the merged solver's
+ideal traffic of ~9 f32 words per DoF per iteration (BASELINE.md — the
+reference publishes no numbers; its north star is >=80% of roofline).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from mf_data_locality_tpu.benchmark import run_one
+    from mf_data_locality_tpu.utils import timing
+
+    bw = timing.measure_hbm_bandwidth()
+
+    degree, s = 4, 13  # 8192 cells, ~1.6M DoFs
+    r = run_one(degree, s, solver="merged", dtype=jnp.float32,
+                backend="pallas", solve_repeats=2, matvec_repeats=2,
+                matvec_inner=20)
+
+    ideal_bytes_per_dof_per_it = 9 * 4  # x,g,d,h sweeps + diag + geometry (f32)
+    roofline = bw / ideal_bytes_per_dof_per_it
+    print(json.dumps({
+        "metric": f"bp4_merged_cg_dofs_per_s_per_it_p{degree}",
+        "value": r.dofs_per_s_per_it,
+        "unit": "DoF/s/iter",
+        "vs_baseline": r.dofs_per_s_per_it / roofline,
+    }))
+    print(f"# n_dofs={r.n_dofs} itCG={r.n_iterations} "
+          f"time/it={r.time_per_it:.3e}s time/matvec={r.time_per_matvec:.3e}s "
+          f"measured_bw={bw/1e9:.0f}GB/s roofline={roofline/1e9:.2f}GDoF/s/it "
+          f"converged={r.converged}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

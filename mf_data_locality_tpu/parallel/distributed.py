@@ -1,0 +1,273 @@
+"""Distributed BP4: z-slab domain decomposition over a 1D device mesh.
+
+The TPU-native equivalent of the reference's MPI layer (SURVEY.md §2
+"parallelism strategies", §5 "distributed communication backend"):
+
+* **p4est partition -> z-slab partition.** The structured mesh is split into
+  equal slabs of cells along z; each device owns one slab.  The locality
+  renumbering's goal — contiguous halo data (``renumber_dofs_for_mf.h:
+  492-535``) — holds by construction: the halo is one contiguous (Ny, Nx)
+  node plane.
+* **Ghost exchange -> two one-plane ppermutes.** Vectors are stored as
+  per-device slabs of P+1 node planes where the plane shared by neighboring
+  devices is *replicated* (the deal.II partitioner's ghost row).  After a
+  local operator apply, the shared plane holds partial sums on both sides:
+  one ``ppermute`` sends the lower partial up to be summed, a second sends
+  the completed plane back down — the compress/update_ghost_values pair of
+  ``MatrixFree::cell_loop`` (``poisson_operator.h:310,339``), riding ICI.
+* **7-scalar allreduce -> one psum.** The merged CG's reduction hook becomes
+  ``psum`` over the mesh axis; non-owned replicated planes are zero-weighted
+  in the local dot products so each global DoF counts once (the partitioner's
+  owned-range split).
+
+State invariant: for every distributed vector, plane P of device d equals
+plane 0 of device d+1.  All update arithmetic is elementwise, so the
+invariant is preserved automatically; the operator apply restores it after
+the halo sum.
+
+Everything runs inside one ``shard_map`` region over ``Mesh(devices, ("z",))``
+— collectives compile to XLA ICI transfers, and the whole CG loop stays on
+device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mf_data_locality_tpu.mesh.box import BoxMesh
+from mf_data_locality_tpu.mesh.dofs import DofLayout
+from mf_data_locality_tpu.models import bp4
+from mf_data_locality_tpu.ops import diagonal, laplace_pallas, laplace_structured
+from mf_data_locality_tpu.solvers import cg, cg_merged
+
+AXIS = "z"
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistributedBP4:
+    """Per-device stacked problem state; leading axis D is sharded over "z"."""
+
+    op_stack: Any  # operator pytree, each leaf (D, ...)
+    inv_diag: jax.Array  # (D, 1, P+1, Ny, Nx)
+    b: jax.Array  # (D, C, P+1, Ny, Nx)
+    weight: jax.Array  # (D, 1, P+1, 1, 1): 1 on owned planes, 0 on ghosts
+    n_dofs: int = field(metadata=dict(static=True), default=0)
+    n_devices: int = field(metadata=dict(static=True), default=1)
+    backend: str = field(metadata=dict(static=True), default="pallas")
+
+
+def _slab_layouts(layout: DofLayout, n_dev: int) -> list[DofLayout]:
+    """Per-device slab DofLayouts (each slab is itself a BoxMesh of fewer
+    z-cells placed at a z-offset; only connectivity/shape data is used)."""
+    ncz, ncy, ncx = layout.mesh.n_cells_axis
+    if ncz % n_dev:
+        raise ValueError(f"ncz={ncz} not divisible by n_devices={n_dev}")
+    return ncz // n_dev
+
+
+def build_distributed(s: int, degree: int, n_devices: int | None = None,
+                      dtype=jnp.float32, backend: str = "pallas",
+                      n_components: int = 3, devices=None,
+                      box: BoxMesh | None = None) -> tuple[DistributedBP4, Mesh]:
+    """Partition the BP4 problem over a 1D device mesh.
+
+    Arrays are built globally (host NumPy), split into z-slabs with the
+    shared-plane replication, stacked on a leading device axis, and placed
+    with a NamedSharding so each device holds exactly its slab.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    D = n_devices or len(devs)
+    devs = devs[:D]
+    mesh = Mesh(np.array(devs), (AXIS,))
+
+    layout = DofLayout(box if box is not None else BoxMesh.from_s(s), degree)
+    ncz, ncy, ncx = layout.mesh.n_cells_axis
+    ncz_loc = _slab_layouts(layout, D)
+    p = degree
+    nz, ny, nx = layout.n_nodes_axis
+    Pp = ncz_loc * p  # owned planes per device (except the extra top plane)
+
+    # global host-side setup (same path as single-device bp4.build)
+    n = layout.n_nodes
+    dof_index = (np.arange(n)[:, None] * n_components
+                 + np.arange(n_components)[None, :])
+    b = (dof_index % 8).astype(np.float64)
+    b[layout.boundary_node_mask] = 0.0
+    b_lat = b.T.reshape(n_components, nz, ny, nx)
+    inv_diag = np.asarray(diagonal.compute_inverse_diagonal(layout, dtype=jnp.float64))
+    inv_lat = inv_diag.reshape(1, nz, ny, nx)
+    mask_lat = (~layout.boundary_node_mask).reshape(1, nz, ny, nx)
+
+    def slab(arr):
+        """(C, Nz, Ny, Nx) -> (D, C, P+1, Ny, Nx) with shared-plane replication."""
+        return np.stack([arr[:, d * Pp:d * Pp + Pp + 1] for d in range(D)])
+
+    weight = np.ones((D, 1, Pp + 1, 1, 1))
+    weight[1:, :, 0] = 0.0  # bottom plane of d>0 is owned by the device below
+
+    # per-device operator data: slab coefficient/mask arrays + shared matrices
+    ops = []
+    for d in range(D):
+        slab_mesh = BoxMesh(n_cells_axis=(ncz_loc, ncy, ncx),
+                            spacing=layout.mesh.spacing,
+                            deformed=layout.mesh.deformed)
+        # use the GLOBAL geometry for this slab: cells d*ncz_loc .. (d+1)*ncz_loc
+        sl_layout = DofLayout(slab_mesh, degree)
+        if backend == "pallas":
+            op = laplace_pallas.make_pallas_operator(sl_layout, dtype=dtype)
+            co = _slab_cell_coeffs(layout, d, ncz_loc, dtype)
+            op = replace_coeffs_pallas(op, co, mask_lat, d, Pp, dtype)
+        else:
+            op = laplace_structured.make_structured_operator(sl_layout, dtype=dtype)
+            op = replace_coeffs_structured(op, layout, d, ncz_loc, mask_lat, Pp,
+                                           dtype)
+        ops.append(op)
+
+    op_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *ops)
+
+    sharding = NamedSharding(mesh, P(AXIS))
+    dist = DistributedBP4(
+        op_stack=jax.device_put(op_stack, sharding),
+        inv_diag=jax.device_put(jnp.asarray(slab(inv_lat), dtype=dtype), sharding),
+        b=jax.device_put(jnp.asarray(slab(b_lat), dtype=dtype), sharding),
+        weight=jax.device_put(jnp.asarray(weight, dtype=dtype), sharding),
+        n_dofs=layout.n_nodes * n_components,
+        n_devices=D,
+        backend=backend,
+    )
+    return dist, mesh
+
+
+def _slab_cell_coeffs(layout: DofLayout, d: int, ncz_loc: int, dtype):
+    """Global trilinear coefficients for slab d, kernel layout (3, 8, nc_loc)."""
+    from mf_data_locality_tpu.ops.geometry import trilinear_coefficients
+
+    ncz, ncy, ncx = layout.mesh.n_cells_axis
+    co = trilinear_coefficients(layout.mesh.cell_vertices)
+    co = co.reshape(ncz, ncy * ncx, 8, 3)[d * ncz_loc:(d + 1) * ncz_loc]
+    return co.reshape(-1, 8, 3).transpose(2, 1, 0)  # (3, 8, nc_loc)
+
+
+def replace_coeffs_pallas(op, co, mask_lat, d, Pp, dtype):
+    """Install slab-d geometry and Dirichlet mask into a pallas operator."""
+    nc_pad = op.coeffs.shape[2]
+    nc = co.shape[2]
+    full = np.zeros((3, 8, nc_pad))
+    full[:, :, :nc] = co
+    full[0, 1, nc:] = full[1, 2, nc:] = full[2, 4, nc:] = 1.0
+    mask = mask_lat[:, d * Pp:d * Pp + Pp + 1]
+    return replace(op, coeffs=jnp.asarray(full, dtype=dtype),
+                   mask=jnp.asarray(mask, dtype=dtype))
+
+
+def replace_coeffs_structured(op, layout, d, ncz_loc, mask_lat, Pp, dtype):
+    from mf_data_locality_tpu.ops.geometry import trilinear_coefficients
+
+    ncz, ncy, ncx = layout.mesh.n_cells_axis
+    co = trilinear_coefficients(layout.mesh.cell_vertices)
+    co = co.reshape(ncz, ncy, ncx, 8, 3)[d * ncz_loc:(d + 1) * ncz_loc]
+    co = co.reshape(ncz_loc, 1, ncy, 1, ncx, 1, 8, 3)
+    mask = mask_lat[:, d * Pp:d * Pp + Pp + 1]
+    return op._replace(coeffs=jnp.asarray(co, dtype=dtype),
+                       mask=jnp.asarray(mask, dtype=dtype))
+
+
+def _halo_sum(v: jax.Array, n_dev: int) -> jax.Array:
+    """Complete the shared-plane partial sums and restore replication.
+
+    Two one-plane ppermutes over ICI — the TPU analog of the deal.II
+    partitioner's compress(add) + update_ghost_values pair.
+    """
+    if n_dev == 1:
+        return v
+    # 1) send bottom partial down: device d receives plane-0 partial of d+1
+    down = [(d, d - 1) for d in range(1, n_dev)]
+    recv = jax.lax.ppermute(v[:, :1], AXIS, down)  # zeros on last device
+    v = v.at[:, -1:].add(recv)
+    # 2) completed top plane travels up to replace the stale bottom plane
+    up = [(d, d + 1) for d in range(n_dev - 1)]
+    recv = jax.lax.ppermute(v[:, -1:], AXIS, up)  # zeros on device 0
+    idx = jax.lax.axis_index(AXIS)
+    bottom = jnp.where(idx > 0, recv, v[:, :1])
+    return jnp.concatenate([bottom, v[:, 1:]], axis=1)
+
+
+def dist_vmult(op_local, u: jax.Array, n_dev: int, backend: str,
+               constrained_identity: bool = True) -> jax.Array:
+    """Distributed operator apply on one device's slab (inside shard_map):
+    masked local apply, halo sum, mask again (global Dirichlet)."""
+    mask = op_local.mask
+    if backend == "pallas":
+        from mf_data_locality_tpu.ops import laplace_pallas as lp
+        raw = lp.apply_lattice(op_local, u * mask)
+    else:
+        from mf_data_locality_tpu.ops import laplace_structured as ls
+        raw = ls.apply_lattice(op_local, u * mask)
+    raw = _halo_sum(raw, n_dev)
+    v = raw * mask
+    if constrained_identity:
+        v = v + u * (1.0 - mask)
+    return v
+
+
+def _index0(tree):
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+def solve(dist: DistributedBP4, mesh: Mesh, solver: str = "merged",
+          max_iter: int = 100, rel_tol: float = 1e-8) -> cg.SolveResult:
+    """Full distributed CG solve; one shard_map region, loop on device.
+
+    The merged variant performs exactly ONE collective per iteration (the
+    7-scalar psum) besides the two halo ppermutes inside the operator —
+    matching the reference's single ``MPI_Allreduce`` design
+    (``poisson_operator.h:373-375``).
+    """
+    n_dev = dist.n_devices
+    backend = dist.backend
+
+    def body(op_stack, inv_diag, b, weight):
+        op_local = _index0(op_stack)
+        prec = inv_diag[0]
+        b_loc = b[0]
+        w = weight[0]
+        a = partial(dist_vmult, op_local, n_dev=n_dev, backend=backend,
+                    constrained_identity=(solver == "baseline"))
+        if solver == "merged":
+            res = cg_merged.merged_cg_solve(
+                a, b_loc, prec, max_iter=max_iter, rel_tol=rel_tol,
+                reduce_sums=lambda s: jax.lax.psum(s, AXIS),
+                dot_weight=w)
+        else:
+            res = cg.cg_solve(
+                a, b_loc, prec, max_iter=max_iter, rel_tol=rel_tol,
+                reduce_scalar=lambda s: jax.lax.psum(s, AXIS),
+                dot_weight=w)
+        return (res.x[None], res.n_iterations, res.res_norm, res.res_history,
+                res.converged)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    x, it, res_norm, hist, conv = jax.jit(fn)(
+        dist.op_stack, dist.inv_diag, dist.b, dist.weight)
+    return cg.SolveResult(x, it, res_norm, hist, conv)
+
+
+def gather_global(x_dist: jax.Array) -> np.ndarray:
+    """(D, C, P+1, Ny, Nx) distributed vector -> global (C, Nz, Ny, Nx)."""
+    x = np.asarray(x_dist)
+    D = x.shape[0]
+    parts = [x[0]] + [x[d][:, 1:] for d in range(1, D)]
+    return np.concatenate(parts, axis=1)

@@ -46,6 +46,8 @@ def cg_solve(
     max_iter: int = 100,
     abs_tol: float = 1e-15,
     rel_tol: float = 1e-8,
+    reduce_scalar: Callable[[jax.Array], jax.Array] | None = None,
+    dot_weight: jax.Array | None = None,
 ) -> SolveResult:
     """Textbook PCG solving A x = b to ``max(abs_tol, rel_tol * ||r0||)``.
 
@@ -55,17 +57,28 @@ def cg_solve(
     ``ReductionControl``:
     the initial residual is "step 0"; each iteration increments by one and is
     checked after updating the residual.
+
+    ``reduce_scalar`` (e.g. a psum) and ``dot_weight`` (owned-DoF weighting)
+    support the distributed path; note the textbook algorithm needs one
+    reduction per dot product — 3 per iteration vs the merged solver's 1.
     """
     dtype = b.dtype
+    if reduce_scalar is None:
+        reduce_scalar = lambda s: s  # noqa: E731
+
+    def wdot(a, c):
+        local = jnp.vdot(a, c) if dot_weight is None else jnp.sum(a * c * dot_weight)
+        return reduce_scalar(local.real.astype(dtype))
+
     x = jnp.zeros_like(b) if x0 is None else x0
 
     r = b - a_apply(x) if x0 is not None else b
-    res0 = jnp.sqrt(jnp.vdot(r, r).real.astype(dtype))
+    res0 = jnp.sqrt(wdot(r, r))
     tol = jnp.maximum(jnp.asarray(abs_tol, dtype), rel_tol * res0)
 
     z = _prec_apply(prec, r)
     p = z
-    rz = jnp.vdot(r, z).real.astype(dtype)
+    rz = wdot(r, z)
     history = jnp.full((max_iter + 1,), jnp.nan, dtype=dtype).at[0].set(res0)
 
     def cond(state):
@@ -75,12 +88,12 @@ def cg_solve(
     def body(state):
         x, r, p, rz, _, it, hist = state
         ap = a_apply(p)
-        alpha = rz / jnp.vdot(p, ap).real.astype(dtype)
+        alpha = rz / wdot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        res = jnp.sqrt(jnp.vdot(r, r).real.astype(dtype))
+        res = jnp.sqrt(wdot(r, r))
         z = _prec_apply(prec, r)
-        rz_new = jnp.vdot(r, z).real.astype(dtype)
+        rz_new = wdot(r, z)
         beta = rz_new / rz
         p = z + beta * p
         it = it + 1

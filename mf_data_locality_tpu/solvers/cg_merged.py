@@ -49,24 +49,34 @@ def merged_cg_solve(
     abs_tol: float = 1e-15,
     rel_tol: float = 1e-8,
     reduce_sums: Callable[[jax.Array], jax.Array] | None = None,
+    dot_weight: jax.Array | None = None,
 ) -> SolveResult:
     """Solve A x = b (x0 = 0) with the fully-merged CG.
 
     ``reduce_sums`` post-processes the 7-vector of local partial sums — the
     distributed path passes ``lambda s: jax.lax.psum(s, axis_name)`` so the
-    whole iteration has exactly one collective.
+    whole iteration has exactly one collective.  ``dot_weight`` (broadcastable
+    against ``b``) weights the local dot products — the distributed path uses
+    it to zero out non-owned replicated DoFs so the psum counts each global
+    DoF exactly once (the role of the reference partitioner's owned-range
+    split).
     """
     dtype = b.dtype
     if reduce_sums is None:
         reduce_sums = lambda s: s  # noqa: E731
+
+    def wdot(a, c):
+        if dot_weight is None:
+            return jnp.vdot(a, c)
+        return jnp.sum(a * c * dot_weight)
 
     def dots7(g, d, h):
         """The update3b fused dot products (solver_cg_optimized.h:12-61)."""
         ph = prec * h
         pg = prec * g
         local = jnp.stack([
-            jnp.vdot(d, h), jnp.vdot(h, h), jnp.vdot(g, h), jnp.vdot(g, g),
-            jnp.vdot(g, ph), jnp.vdot(h, ph), jnp.vdot(g, pg),
+            wdot(d, h), wdot(h, h), wdot(g, h), wdot(g, g),
+            wdot(g, ph), wdot(h, ph), wdot(g, pg),
         ]).astype(dtype)
         return reduce_sums(local)
 
@@ -96,7 +106,8 @@ def merged_cg_solve(
 
     # initial residual g = -b for x0 = 0 (solver_cg_optimized.h:221-228)
     g0 = -b
-    res0 = jnp.sqrt(jnp.vdot(b, b).real.astype(dtype))
+    res0 = jnp.sqrt(reduce_sums(
+        jnp.stack([wdot(b, b)] * 7).astype(dtype))[0])
     tol = jnp.maximum(jnp.asarray(abs_tol, dtype), rel_tol * res0)
     zero = jnp.zeros((), dtype)
     history = jnp.full((max_iter + 1,), jnp.nan, dtype=dtype).at[0].set(res0)

@@ -1,0 +1,87 @@
+"""Distributed solves on 8 virtual CPU devices vs single-device reference.
+
+SURVEY.md §4(d): 1-chip vs N-chip results identical to roundoff using the same
+global mesh — the "multi-node testing without a cluster" strategy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mf_data_locality_tpu.models import bp4
+from mf_data_locality_tpu.parallel import distributed as dist
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@requires_8
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_distributed_merged_matches_single(n_dev):
+    s, p = 9, 2  # ncz = 8 slabs available
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="structured")
+    r1 = bp4.solve_merged(ref)
+
+    dp, mesh = dist.build_distributed(s, p, n_devices=n_dev,
+                                      dtype=jnp.float64, backend="structured")
+    rd = dist.solve(dp, mesh, solver="merged")
+
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    assert np.isclose(float(rd.res_norm), float(r1.res_norm), rtol=1e-9)
+    xg = dist.gather_global(rd.x)
+    x1 = np.asarray(r1.x)
+    assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+
+@requires_8
+def test_distributed_baseline_matches_single():
+    s, p = 9, 2
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="structured")
+    r1 = bp4.solve_baseline(ref)
+
+    dp, mesh = dist.build_distributed(s, p, n_devices=4,
+                                      dtype=jnp.float64, backend="structured")
+    rd = dist.solve(dp, mesh, solver="baseline")
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    xg = dist.gather_global(rd.x)
+    x1 = np.asarray(r1.x)
+    assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+
+@requires_8
+def test_distributed_matvec_matches_single():
+    """One distributed vmult == single-device vmult (halo-sum correctness)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    s, p = 6, 3  # ncz = 4
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="structured")
+    v1 = np.asarray(ref.a_apply_full(ref.b))
+
+    dp, mesh = dist.build_distributed(s, p, n_devices=4,
+                                      dtype=jnp.float64, backend="structured")
+
+    def body(op_stack, b):
+        op_local = jax.tree.map(lambda x: x[0], op_stack)
+        out = dist.dist_vmult(op_local, b[0], n_dev=4, backend="structured",
+                              constrained_identity=True)
+        return out[None]
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(P(dist.AXIS), P(dist.AXIS)),
+                       out_specs=P(dist.AXIS), check_vma=False)
+    vd = dist.gather_global(jax.jit(fn)(dp.op_stack, dp.b))
+    assert np.abs(vd - v1.reshape(vd.shape)).max() < 1e-12 * np.abs(v1).max()
+
+
+@requires_8
+def test_replication_invariant_preserved():
+    """After a solve, shared planes remain bit-replicated across devices."""
+    dp, mesh = dist.build_distributed(9, 2, n_devices=8,
+                                      dtype=jnp.float64, backend="structured")
+    rd = dist.solve(dp, mesh, solver="merged")
+    x = np.asarray(rd.x)
+    for d in range(1, 8):
+        np.testing.assert_array_equal(x[d - 1][:, -1], x[d][:, 0])
