@@ -60,8 +60,15 @@ class BoxMesh:
 
     @cached_property
     def vertex_lattice(self) -> np.ndarray:
-        """Deformed vertex coordinates, shape (ncz+1, ncy+1, ncx+1, 3) as (x,y,z)."""
+        """Deformed vertex coordinates, shape (ncz+1, ncy+1, ncx+1, 3) as (x,y,z).
+
+        Uses the native C++ builder when available (native/setup.cc).
+        """
         ncz, ncy, ncx = self.n_cells_axis
+        from mf_data_locality_tpu import native
+        if native.AVAILABLE and self.factor == manifold.DEFAULT_FACTOR:
+            return native.vertex_lattice(ncz, ncy, ncx, self.spacing,
+                                         deformed=self.deformed)
         z = np.arange(ncz + 1) * self.spacing
         y = np.arange(ncy + 1) * self.spacing
         x = np.arange(ncx + 1) * self.spacing

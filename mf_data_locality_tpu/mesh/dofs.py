@@ -56,11 +56,16 @@ class DofLayout:
         """(n_cells, (p+1)^3) int32: global node id for each cell-local node.
 
         Cell-local nodes in lexicographic (z, y, x) order, x fastest; cells in
-        lexicographic order, z slowest (matching :class:`BoxMesh`).
+        lexicographic order, z slowest (matching :class:`BoxMesh`).  Uses the
+        native C++ builder when available (native/setup.cc).
         """
         p = self.degree
         ncz, ncy, ncx = self.mesh.n_cells_axis
         nz, ny, nx = self.n_nodes_axis
+        if self.n_nodes < np.iinfo(np.int32).max:
+            from mf_data_locality_tpu import native
+            if native.AVAILABLE:
+                return native.gather_map(p, ncz, ncy, ncx)
         cz, cy, cx = np.meshgrid(
             np.arange(ncz), np.arange(ncy), np.arange(ncx), indexing="ij"
         )
@@ -83,6 +88,9 @@ class DofLayout:
         node are constrained together.
         """
         nz, ny, nx = self.n_nodes_axis
+        from mf_data_locality_tpu import native
+        if native.AVAILABLE:
+            return native.boundary_mask(nz, ny, nx)
         m = np.zeros((nz, ny, nx), dtype=bool)
         m[0, :, :] = m[-1, :, :] = True
         m[:, 0, :] = m[:, -1, :] = True

@@ -1,0 +1,92 @@
+"""Native C++ setup library vs NumPy reference paths, and renumbering."""
+
+import numpy as np
+import pytest
+
+from mf_data_locality_tpu import native
+from mf_data_locality_tpu.mesh import renumber
+from mf_data_locality_tpu.mesh.box import BoxMesh
+from mf_data_locality_tpu.mesh.dofs import DofLayout
+from mf_data_locality_tpu.ops.geometry import trilinear_coefficients
+
+needs_native = pytest.mark.skipif(not native.AVAILABLE,
+                                  reason="native library not built")
+
+
+@needs_native
+@pytest.mark.parametrize("s,p", [(4, 2), (6, 3), (3, 1)])
+def test_native_gather_map_matches_numpy(s, p):
+    layout = DofLayout(BoxMesh.from_s(s), p)
+    ncz, ncy, ncx = layout.mesh.n_cells_axis
+    got = native.gather_map(p, ncz, ncy, ncx)
+    np.testing.assert_array_equal(got, layout.gather_map)
+
+
+@needs_native
+@pytest.mark.parametrize("s", [3, 5])
+def test_native_vertex_lattice_and_coeffs(s):
+    m = BoxMesh.from_s(s)
+    ncz, ncy, ncx = m.n_cells_axis
+    verts = native.vertex_lattice(ncz, ncy, ncx, m.spacing)
+    assert np.abs(verts - m.vertex_lattice).max() < 1e-14
+    co = native.trilinear_coefficients(ncz, ncy, ncx, verts)
+    expect = trilinear_coefficients(m.cell_vertices)
+    assert np.abs(co - expect).max() < 1e-14
+
+
+@needs_native
+def test_native_boundary_mask():
+    layout = DofLayout(BoxMesh.from_s(5), 3)
+    nz, ny, nx = layout.n_nodes_axis
+    got = native.boundary_mask(nz, ny, nx)
+    np.testing.assert_array_equal(got, layout.boundary_node_mask)
+
+
+@needs_native
+@pytest.mark.parametrize("s,p", [(4, 2), (3, 3)])
+def test_native_renumber_matches_numpy(s, p):
+    layout = DofLayout(BoxMesh.from_s(s), p)
+    gm = layout.gather_map
+    ghost = np.zeros(layout.n_nodes, dtype=bool)
+    ghost[-layout.n_nodes // 5:] = True  # pretend a chunk is ghost
+    pn, ni_n = renumber.locality_permutation_np(gm, layout.n_nodes, ghost)
+    pc, ni_c = native.renumber_locality(gm, layout.n_nodes,
+                                        ghost.astype(np.uint8))
+    assert ni_n == ni_c
+    np.testing.assert_array_equal(pn, pc)
+
+
+def test_renumber_is_permutation_and_groups():
+    layout = DofLayout(BoxMesh.from_s(4), 2)
+    gm = layout.gather_map
+    perm, n_int = renumber.locality_permutation(gm, layout.n_nodes)
+    assert sorted(perm) == list(range(layout.n_nodes))
+    touch = np.bincount(gm.reshape(-1), minlength=layout.n_nodes)
+    # interior (touch == 1) nodes occupy the first n_int new ids
+    new_of_interior = perm[touch == 1]
+    assert new_of_interior.max() == n_int - 1
+    assert (touch == 1).sum() == n_int
+
+
+def test_renumbered_operator_is_equivalent():
+    """The general operator commutes with node renumbering."""
+    import jax.numpy as jnp
+
+    from mf_data_locality_tpu.ops import laplace
+
+    layout = DofLayout(BoxMesh.from_s(3), 2)
+    op = laplace.make_operator(layout, dtype=jnp.float64)
+    perm, _ = renumber.locality_permutation(layout.gather_map, layout.n_nodes)
+
+    gm2 = renumber.apply_permutation(layout.gather_map, perm)
+    mask2 = renumber.permute_nodes(np.asarray(op.unconstrained), perm)
+    op2 = op._replace(gather=jnp.asarray(gm2),
+                      unconstrained=jnp.asarray(mask2))
+
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(3, layout.n_nodes))
+    v1 = np.asarray(laplace.vmult(op, jnp.asarray(u)))
+    u2 = renumber.permute_nodes(u, perm, axis=1)
+    v2 = np.asarray(laplace.vmult(op2, jnp.asarray(u2)))
+    v2_back = v2[:, perm]  # new->old: v_old[i] = v_new[perm[i]]
+    assert np.abs(v2_back - v1).max() < 1e-12
