@@ -66,8 +66,20 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     from mf_data_locality_tpu.models.bp4 import _VMULT
     from mf_data_locality_tpu.solvers import cg, cg_merged
 
+    import time as _time
+
+    setup_t0 = _time.perf_counter()
     problem = bp4.build(s, degree, dtype=dtype, backend=backend)
     vmult_fn = _VMULT[backend]
+    if verbose:
+        # reference verbose mode: diagonal norm + setup time
+        # (benchmark.h:149-154, 178-182)
+        import jax.numpy as _jnp
+        diag_norm = float(_jnp.linalg.norm(1.0 / problem.inv_diag))
+        print(f"Norm of diagonal for preconditioner: {diag_norm:.6e}",
+              file=sys.stderr)
+        print(f"Setup time:         {_time.perf_counter() - setup_t0:.3f}s",
+              file=sys.stderr)
 
     # operator data passed as jit arguments, not baked-in constants
     @jax.jit
@@ -89,8 +101,9 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         problem.b, inner=matvec_inner, repeats=matvec_repeats)
 
     if verbose:
-        print(f"  residual history head: "
-              f"{[float(r) for r in result.res_history[:4]]}", file=sys.stderr)
+        hist = [float(r) for r in result.res_history[: n_it + 1]]
+        print(f"  solver residual history: {hist[:4]} ... {hist[-2:]}",
+              file=sys.stderr)
 
     return RunResult(
         degree=degree,

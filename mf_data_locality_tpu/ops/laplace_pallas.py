@@ -44,8 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from mf_data_locality_tpu.mesh.dofs import DofLayout
 from mf_data_locality_tpu.ops import geometry, lagrange
 from mf_data_locality_tpu.ops.laplace_structured import (
-    cellify,
-    overlap_add,
+    cellify_t,
+    overlap_add_t,
 )
 
 
@@ -236,11 +236,16 @@ def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
 
 
 def _to_cell_batches(u: jax.Array, p: int, nc_pad: int) -> jax.Array:
-    """(C, Nz, Ny, Nx) lattice -> (p1^3, C, nc_pad) cell batches."""
-    t = cellify(u, 3, p)
-    t = cellify(t, 2, p)
-    t = cellify(t, 1, p)  # (C, ncz, p1, ncy, p1, ncx, p1)
-    t = t.transpose(2, 4, 6, 0, 1, 3, 5)  # (p1z, p1y, p1x, C, ncz, ncy, ncx)
+    """(C, Nz, Ny, Nx) lattice -> (p1^3, C, nc_pad) cell batches.
+
+    Uses the transposed windowing (window dims before cell dims) so every
+    intermediate keeps a large minor dimension — 4x faster than the naive
+    interleaved form on TPU (see cellify_t).
+    """
+    t = cellify_t(u, 3, p)  # (C, Nz, Ny, p1, ncx)
+    t = cellify_t(t, 2, p)  # (C, Nz, p1, ncy, p1, ncx)
+    t = cellify_t(t, 1, p)  # (C, p1, ncz, p1, ncy, p1, ncx)
+    t = t.transpose(1, 3, 5, 0, 2, 4, 6)  # (p1z, p1y, p1x, C, ncz, ncy, ncx)
     p13 = t.shape[0] * t.shape[1] * t.shape[2]
     n_comp = t.shape[3]
     nc = t.shape[4] * t.shape[5] * t.shape[6]
@@ -257,10 +262,10 @@ def _from_cell_batches(v: jax.Array, p: int, n_cells_axis) -> jax.Array:
     p1 = p + 1
     n_comp = v.shape[1]
     v = v[:, :, :nc].reshape(p1, p1, p1, n_comp, ncz, ncy, ncx)
-    v = v.transpose(3, 4, 0, 5, 1, 6, 2)  # (C, ncz, p1, ncy, p1, ncx, p1)
-    v = overlap_add(v, 1, p)
-    v = overlap_add(v, 2, p)
-    v = overlap_add(v, 3, p)
+    v = v.transpose(3, 0, 4, 1, 5, 2, 6)  # (C, p1z, ncz, p1y, ncy, p1x, ncx)
+    v = overlap_add_t(v, 1, p)
+    v = overlap_add_t(v, 2, p)
+    v = overlap_add_t(v, 3, p)
     return v
 
 
