@@ -28,37 +28,60 @@ from mf_data_locality_tpu import native
 
 
 def locality_permutation_np(gather: np.ndarray, n_nodes: int,
-                            ghost_flags: np.ndarray | None = None
+                            ghost_flags: np.ndarray | None = None,
+                            touch_order: str = "first",
+                            grouping: str = "touch_count",
                             ) -> tuple[np.ndarray, int]:
-    """Pure-NumPy locality permutation: returns (perm old->new, n_interior)."""
+    """Pure-NumPy locality permutation: returns (perm old->new, n_interior).
+
+    ``touch_order``: "first" (renumber strategy 1, ``first_touch_renumber``
+    :461-474) or "last" (strategy 0, ``last_touch_renumber`` :476-490).
+    ``grouping``: "touch_count" (grouping strategy 2, :556-590) or "none"
+    (strategy 0, ``base_grouping`` :537-554 — sweep order only, ghosts last).
+    """
     flat = gather.reshape(-1)
     touch = np.bincount(flat, minlength=n_nodes)
 
-    # first-touch order: index of first occurrence in the cell sweep
-    first_idx = np.full(n_nodes, flat.size, dtype=np.int64)
-    # reverse pass so earlier occurrences overwrite later ones
-    np.minimum.at(first_idx, flat, np.arange(flat.size))
-    order_rank = np.argsort(np.argsort(first_idx, kind="stable"), kind="stable")
+    # touch order: index of first/last occurrence in the cell sweep
+    order_idx = np.full(n_nodes, flat.size, dtype=np.int64)
+    if touch_order == "first":
+        np.minimum.at(order_idx, flat, np.arange(flat.size))
+    elif touch_order == "last":
+        order_idx[:] = -1
+        np.maximum.at(order_idx, flat, np.arange(flat.size))
+        order_idx[order_idx < 0] = flat.size
+    else:
+        raise ValueError(touch_order)
+    order_rank = np.argsort(np.argsort(order_idx, kind="stable"), kind="stable")
 
     if ghost_flags is None:
         ghost_flags = np.zeros(n_nodes, dtype=bool)
-    cls = np.where(ghost_flags, 2, np.where(touch == 1, 0, 1))
+    if grouping == "touch_count":
+        cls = np.where(ghost_flags, 2, np.where(touch == 1, 0, 1))
+    elif grouping == "none":
+        cls = np.where(ghost_flags, 2, 0)
+    else:
+        raise ValueError(grouping)
     key = cls.astype(np.int64) * (2 * n_nodes + flat.size) + order_rank
     order = np.argsort(key, kind="stable")
     perm = np.empty(n_nodes, dtype=np.int32)
     perm[order] = np.arange(n_nodes, dtype=np.int32)
-    n_interior = int(np.count_nonzero((cls == 0)))
+    n_interior = int(np.count_nonzero((cls == 0) & ~ghost_flags & (touch == 1)))
     return perm, n_interior
 
 
 def locality_permutation(gather: np.ndarray, n_nodes: int,
-                         ghost_flags: np.ndarray | None = None
+                         ghost_flags: np.ndarray | None = None,
+                         touch_order: str = "first",
+                         grouping: str = "touch_count",
                          ) -> tuple[np.ndarray, int]:
-    """Locality permutation; native C++ when available, NumPy otherwise."""
-    if native.AVAILABLE:
+    """Locality permutation; native C++ when available (default strategies
+    only — the benchmark triple (0, 1, 2)), NumPy otherwise."""
+    if native.AVAILABLE and touch_order == "first" and grouping == "touch_count":
         gf = None if ghost_flags is None else ghost_flags.astype(np.uint8)
         return native.renumber_locality(gather, n_nodes, gf)
-    return locality_permutation_np(gather, n_nodes, ghost_flags)
+    return locality_permutation_np(gather, n_nodes, ghost_flags,
+                                   touch_order=touch_order, grouping=grouping)
 
 
 def apply_permutation(gather: np.ndarray, perm: np.ndarray) -> np.ndarray:

@@ -165,6 +165,23 @@ def vmult(op: LaplaceOperatorData, u: jax.Array,
     return v
 
 
+def tvmult(op: LaplaceOperatorData, u: jax.Array) -> jax.Array:
+    """Transpose apply — the operator is symmetric (poisson_operator.h:383-387)."""
+    return vmult(op, u)
+
+
+def vmult_add(op: LaplaceOperatorData, dst: jax.Array, src: jax.Array) -> jax.Array:
+    """dst += A src with identity on constrained rows.
+
+    Parity slot of ``poisson_operator.h:318-325``; in the reference this
+    method references an undefined ``local_apply_linear_geo`` and is never
+    instantiated (templates), i.e. it is dead code there — provided here as a
+    working accumulate variant.
+    """
+    mask = op.unconstrained[None, :]
+    return dst + apply_cells(op, src * mask) * mask + src * (1.0 - mask)
+
+
 # ---------------------------------------------------------------------------
 # Dense reference assembly (validation only; float64 NumPy, independent path)
 # ---------------------------------------------------------------------------

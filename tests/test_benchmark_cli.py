@@ -1,0 +1,62 @@
+"""Benchmark harness smoke tests (CPU, tiny sizes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mf_data_locality_tpu import benchmark
+
+
+def test_run_one_merged_structured():
+    r = benchmark.run_one(2, 3, solver="merged", dtype=jnp.float64,
+                          backend="structured", solve_repeats=1,
+                          matvec_repeats=1, matvec_inner=2)
+    assert r.converged and r.n_iterations > 3
+    assert r.n_dofs == 375 and r.n_cells == 8
+    assert r.time_per_matvec > 0 and r.time_per_it > 0
+    row = r.row()
+    assert row.startswith(" 2 |  4 |")
+
+
+def test_run_one_baseline_matches_merged_iterations():
+    rm = benchmark.run_one(2, 3, solver="merged", dtype=jnp.float64,
+                           backend="structured", solve_repeats=1,
+                           matvec_repeats=1, matvec_inner=2)
+    rb = benchmark.run_one(2, 3, solver="baseline", dtype=jnp.float64,
+                           backend="structured", solve_repeats=1,
+                           matvec_repeats=1, matvec_inner=2)
+    assert rm.n_iterations == rb.n_iterations  # the reference's own invariant
+
+
+def test_ladder_sizes_protocol():
+    # single device: s starts at 1; (p+1)^3 * 2^s * 3 < 6e6 (benchmark.h:243-257)
+    sizes = benchmark.ladder_sizes(4, n_devices=1)
+    assert sizes[0] == 1
+    assert all((5 ** 3) * (1 << s) * 3 < 6_000_000 for s in sizes)
+    assert (5 ** 3) * (1 << (sizes[-1] + 1)) * 3 >= 6_000_000
+    # more devices -> bigger ladder
+    sizes8 = benchmark.ladder_sizes(4, n_devices=8)
+    assert sizes8[0] == 4 and sizes8[-1] > sizes[-1]
+
+
+def test_degree_dispatch_rejects_out_of_range(capsys):
+    with pytest.raises(SystemExit):
+        benchmark.main(["12"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_distributed_pallas_backend():
+    """Pallas kernel (interpret on CPU) inside the shard_map solve."""
+    from mf_data_locality_tpu.models import bp4
+    from mf_data_locality_tpu.parallel import distributed as dist
+
+    ref = bp4.build(3, 2, dtype=jnp.float64, backend="structured")
+    r1 = bp4.solve_merged(ref)
+    dp, mesh = dist.build_distributed(3, 2, n_devices=2, dtype=jnp.float64,
+                                      backend="pallas")
+    rd = dist.solve(dp, mesh, solver="merged")
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    xg = dist.gather_global(rd.x)
+    assert np.abs(xg.reshape(3, -1) - np.asarray(r1.x).reshape(3, -1)).max() \
+        < 1e-10 * np.abs(np.asarray(r1.x)).max()
