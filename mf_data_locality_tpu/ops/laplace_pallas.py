@@ -89,8 +89,8 @@ def _block_size(p: int) -> int:
 class PallasOperatorData:
     """Pytree for the Pallas-kernel operator; block/n_cells are static."""
 
-    mats: jax.Array  # (3, q^3, (p+1)^3) dense gradient matrices
-    pds: jax.Array  # (3, q^3, 8) monomial derivative matrices
+    mats: jax.Array  # (3*q^3, (p+1)^3) stacked dense gradient matrices
+    pds: jax.Array  # (3*q^3, 8) stacked monomial derivative matrices
     w3: jax.Array  # (q^3, 1) tensor quadrature weights
     coeffs: jax.Array  # (3, 8, nc_pad) trilinear coefficients, cell-minor
     mask: jax.Array  # (1, Nz, Ny, Nx)
@@ -106,8 +106,10 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
     shape = lagrange.make_shape(p, q)
     B = block or _block_size(p)
 
-    mats = np.stack(_dense_gradient_matrices(p, q))
-    pds = np.stack(_monomial_derivative_matrices(shape.q_points))
+    # stacked row-wise (3*q^3 rows): one fused MXU matmul computes all three
+    # gradient directions — fewer, larger matmuls tile far better at low p
+    mats = np.concatenate(_dense_gradient_matrices(p, q), axis=0)
+    pds = np.concatenate(_monomial_derivative_matrices(shape.q_points), axis=0)
     w = shape.q_weights
     w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(-1, 1)
 
@@ -143,21 +145,22 @@ def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
     q3 = w3_ref.shape[0]
     f32 = jnp.float32 if u_ref.dtype in (jnp.float32, jnp.bfloat16) else u_ref.dtype
     # TPU f32 dots default to one bf16 pass (~1e-3 error); HIGHEST selects the
-    # exact f32 (bf16x6) path — the operator must be accurate to f32 eps or CG
+    # exact f32 path — the operator must be accurate to f32 eps or CG
     # iteration counts drift (the reference runs f64 end to end).
     prec = jax.lax.Precision.HIGHEST
 
     u = u_ref[:].reshape(p13, n_comp * B)
 
-    # reference-space gradients at all q-points: three MXU matmuls
-    g = [jnp.dot(mats_ref[e], u, preferred_element_type=f32,
-                 precision=prec).reshape(q3, n_comp, B)
-         for e in range(3)]
+    # reference-space gradients at all q-points: ONE fused MXU matmul for all
+    # three directions (rows stacked e-major)
+    g_all = jnp.dot(mats_ref[:], u, preferred_element_type=f32, precision=prec)
+    g = g_all.reshape(3, q3, n_comp, B)
 
-    # Jacobian entries j[d][e] = P_e @ coeffs[d]: nine (q3, 8)x(8, B) matmuls
+    # Jacobian entries j[d][e] = P_e @ coeffs[d]: three stacked matmuls
     co = co_ref[:]
-    j = [[jnp.dot(pds_ref[e], co[d], preferred_element_type=f32, precision=prec)
-          for e in range(3)] for d in range(3)]
+    j_all = [jnp.dot(pds_ref[:], co[d], preferred_element_type=f32,
+                     precision=prec).reshape(3, q3, B) for d in range(3)]
+    j = [[j_all[d][e] for e in range(3)] for d in range(3)]
 
     # adjugate and determinant, scalarized on (q3, B) arrays (VPU)
     adj = [[None] * 3 for _ in range(3)]
@@ -179,18 +182,15 @@ def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
 
     g00, g01, g02 = gmat(0, 0), gmat(0, 1), gmat(0, 2)
     g11, g12, g22 = gmat(1, 1), gmat(1, 2), gmat(2, 2)
-    t0 = (g00 * g[0] + g01 * g[1] + g02 * g[2]).reshape(q3, n_comp * B)
-    t1 = (g01 * g[0] + g11 * g[1] + g12 * g[2]).reshape(q3, n_comp * B)
-    t2 = (g02 * g[0] + g12 * g[1] + g22 * g[2]).reshape(q3, n_comp * B)
+    t0 = g00 * g[0] + g01 * g[1] + g02 * g[2]
+    t1 = g01 * g[0] + g11 * g[1] + g12 * g[2]
+    t2 = g02 * g[0] + g12 * g[1] + g22 * g[2]
+    t_all = jnp.stack([t0, t1, t2]).reshape(3 * q3, n_comp * B)
 
-    # transpose apply: contract over q^3 (first axis of M_e) — MXU again
+    # transpose apply: ONE contraction over the stacked 3*q^3 axis — MXU again
     dn = (((0,), (0,)), ((), ()))
-    v = (jax.lax.dot_general(mats_ref[0], t0, dn, preferred_element_type=f32,
-                             precision=prec)
-         + jax.lax.dot_general(mats_ref[1], t1, dn, preferred_element_type=f32,
-                               precision=prec)
-         + jax.lax.dot_general(mats_ref[2], t2, dn, preferred_element_type=f32,
-                               precision=prec))
+    v = jax.lax.dot_general(mats_ref[:], t_all, dn, preferred_element_type=f32,
+                            precision=prec)
     out_ref[:] = v.reshape(p13, n_comp, B).astype(out_ref.dtype)
 
 
@@ -213,9 +213,9 @@ def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, q3, p13), lambda i: (0, 0, 0),
+            pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, q3, 8), lambda i: (0, 0, 0),
+            pl.BlockSpec((3 * q3, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((q3, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((p13, n_comp, B), lambda i: (0, 0, i),
@@ -272,7 +272,7 @@ def _from_cell_batches(v: jax.Array, p: int, n_cells_axis) -> jax.Array:
 def apply_lattice(op: PallasOperatorData, u: jax.Array,
                   interpret: bool | None = None) -> jax.Array:
     """Weak vector-Laplacian on the lattice via the fused kernel."""
-    p1 = round(op.mats.shape[2] ** (1 / 3))
+    p1 = round(op.mats.shape[1] ** (1 / 3))
     p = p1 - 1
     nc_pad = op.coeffs.shape[2]
     ncz = (u.shape[1] - 1) // p
