@@ -17,6 +17,12 @@ import sys
 
 
 def main() -> None:
+    import jax
+
+    # persistent compile cache: remote TPU compiles take minutes per program
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from mf_data_locality_tpu.benchmark import run_one

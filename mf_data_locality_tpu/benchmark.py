@@ -131,6 +131,12 @@ def ladder_sizes(degree: int, n_components: int = 3,
 
 
 def main(argv: list[str] | None = None) -> None:
+    try:  # persistent compile cache (tunneled-TPU compiles take minutes)
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("degree", type=int, nargs="?", default=1)
     ap.add_argument("s", type=int, nargs="?", default=-1,

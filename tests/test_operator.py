@@ -88,3 +88,33 @@ def test_constrained_identity_matches_reference_vmult():
     full = np.asarray(laplace.vmult(op, u, constrained_identity=True))
     bc = layout.boundary_node_mask
     assert np.allclose(full[:, bc], np.asarray(u)[:, bc])  # dst[constrained] = src
+
+
+def test_vmult_on_randomly_jittered_mesh():
+    """General-mesh capability: random interior vertex perturbations (valid
+    but non-smooth hexes) still match dense assembly — the operator is not
+    specialized to the benchmark manifold."""
+    mesh = BoxMesh.from_s(3, deformed=False)
+    rng = np.random.default_rng(123)
+    lat = mesh.vertex_lattice.copy()
+    jitter = rng.uniform(-0.12, 0.12, size=lat.shape) * mesh.spacing
+    jitter[0] = jitter[-1] = 0.0
+    jitter[:, 0] = jitter[:, -1] = 0.0
+    jitter[:, :, 0] = jitter[:, :, -1] = 0.0
+    mesh.__dict__["vertex_lattice"] = lat + jitter  # override cached geometry
+
+    layout = DofLayout(mesh, 2)
+    op = laplace.make_operator(layout, dtype=jnp.float64)
+    K = laplace.assemble_dense(layout)
+    u = rng.normal(size=(3, layout.n_nodes))
+    v = np.asarray(laplace.vmult(op, jnp.asarray(u)))
+    expect = np.stack([K @ u[c] for c in range(3)], axis=0)
+    assert np.abs(v - expect).max() < 1e-11 * np.abs(expect).max()
+
+    # pallas kernel agrees on the same jittered mesh
+    from mf_data_locality_tpu.ops import laplace_pallas as lp
+
+    op_p = lp.make_pallas_operator(layout, dtype=jnp.float64)
+    ul = jnp.asarray(u).reshape((3,) + layout.n_nodes_axis)
+    vp = np.asarray(lp.vmult(op_p, ul, interpret=True)).reshape(3, -1)
+    assert np.abs(vp - expect).max() < 1e-11 * np.abs(expect).max()
