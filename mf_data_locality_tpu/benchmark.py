@@ -118,6 +118,36 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     )
 
 
+def run_one_distributed(degree: int, s: int, n_devices: int,
+                        solver: str = "merged", dtype=jnp.float32,
+                        backend: str = "pallas",
+                        solve_repeats: int = 4) -> RunResult:
+    """Distributed solve timing over an n-device z-slab mesh.
+
+    The multi-rank analog of the reference run: one 7-scalar psum per merged
+    iteration, halo ppermutes inside the operator.  Reports solver metrics
+    (the per-rank matvec is measured by the single-device path).
+    """
+    from mf_data_locality_tpu.parallel import distributed as dist
+
+    dp, mesh = dist.build_distributed(s, degree, n_devices=n_devices,
+                                      dtype=dtype, backend=backend)
+    result = dist.solve(dp, mesh, solver=solver)  # compile + warmup
+    n_it = int(result.n_iterations)
+    solver_time = timing.time_min_fetch(
+        lambda: dist.solve(dp, mesh, solver=solver).res_norm,
+        repeats=solve_repeats, warmup=0)
+    return RunResult(
+        degree=degree, n_q=degree + 2,
+        n_cells=2 ** s, n_dofs=dp.n_dofs,
+        time_per_it=solver_time / max(n_it, 1),
+        dofs_per_s_per_it=dp.n_dofs / solver_time * n_it,
+        n_iterations=n_it,
+        time_per_matvec=float("nan"),
+        converged=bool(result.converged),
+    )
+
+
 def ladder_sizes(degree: int, n_components: int = 3,
                  n_devices: int | None = None) -> list[int]:
     """The reference auto size ladder (``benchmark.h:243-257``)."""
@@ -146,6 +176,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dtype", choices=list(DTYPES), default="f32")
     ap.add_argument("--backend", choices=["pallas", "structured", "general"],
                     default="pallas")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="distribute over N devices (0 = single-device path)")
     args = ap.parse_args(argv)
 
     if not 1 <= args.degree <= 11:
@@ -155,8 +187,13 @@ def main(argv: list[str] | None = None) -> None:
     sizes = [args.s] if args.s >= 1 else ladder_sizes(args.degree)
     print(HEADER)
     for s in sizes:
-        r = run_one(args.degree, s, solver=args.solver, dtype=dtype,
-                    backend=args.backend, verbose=not args.compact)
+        if args.devices > 0:
+            r = run_one_distributed(args.degree, s, args.devices,
+                                    solver=args.solver, dtype=dtype,
+                                    backend=args.backend)
+        else:
+            r = run_one(args.degree, s, solver=args.solver, dtype=dtype,
+                        backend=args.backend, verbose=not args.compact)
         print(r.row() + ("" if r.converged else "   [not converged]"))
 
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 from functools import partial
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mf_data_locality_tpu.mesh.box import BoxMesh
 from mf_data_locality_tpu.mesh.dofs import DofLayout
-from mf_data_locality_tpu.models import bp4
 from mf_data_locality_tpu.ops import diagonal, laplace_pallas, laplace_structured
 from mf_data_locality_tpu.solvers import cg, cg_merged
 
@@ -85,6 +84,8 @@ def build_distributed(s: int, degree: int, n_devices: int | None = None,
     """
     devs = list(devices if devices is not None else jax.devices())
     D = n_devices or len(devs)
+    if len(devs) < D:
+        raise ValueError(f"requested {D} devices, only {len(devs)} available")
     devs = devs[:D]
     mesh = Mesh(np.array(devs), (AXIS,))
 
