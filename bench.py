@@ -19,9 +19,10 @@ import sys
 def main() -> None:
     import jax
 
-    # persistent compile cache: remote TPU compiles take minutes per program
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() not in ("cpu",):
+        # persistent compile cache (TPU-only; see benchmark.main)
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
 

@@ -161,11 +161,12 @@ def ladder_sizes(degree: int, n_components: int = 3,
 
 
 def main(argv: list[str] | None = None) -> None:
-    try:  # persistent compile cache (tunneled-TPU compiles take minutes)
+    if jax.default_backend() not in ("cpu",):
+        # persistent compile cache: tunneled-TPU compiles take minutes per
+        # program.  TPU-only — sharing AOT entries with CPU processes loads
+        # binaries compiled for mismatched machine features (SIGILL risk).
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("degree", type=int, nargs="?", default=1)
