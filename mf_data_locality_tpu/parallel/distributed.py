@@ -63,9 +63,8 @@ class DistributedBP4:
     backend: str = field(metadata=dict(static=True), default="pallas")
 
 
-def _slab_layouts(layout: DofLayout, n_dev: int) -> list[DofLayout]:
-    """Per-device slab DofLayouts (each slab is itself a BoxMesh of fewer
-    z-cells placed at a z-offset; only connectivity/shape data is used)."""
+def _cells_per_slab(layout: DofLayout, n_dev: int) -> int:
+    """z-cells owned by each device (slabs must tile the mesh exactly)."""
     ncz, ncy, ncx = layout.mesh.n_cells_axis
     if ncz % n_dev:
         raise ValueError(f"ncz={ncz} not divisible by n_devices={n_dev}")
@@ -91,7 +90,7 @@ def build_distributed(s: int, degree: int, n_devices: int | None = None,
 
     layout = DofLayout(box if box is not None else BoxMesh.from_s(s), degree)
     ncz, ncy, ncx = layout.mesh.n_cells_axis
-    ncz_loc = _slab_layouts(layout, D)
+    ncz_loc = _cells_per_slab(layout, D)
     p = degree
     nz, ny, nx = layout.n_nodes_axis
     Pp = ncz_loc * p  # owned planes per device (except the extra top plane)
