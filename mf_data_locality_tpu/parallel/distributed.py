@@ -200,18 +200,89 @@ def _halo_sum(v: jax.Array, n_dev: int) -> jax.Array:
     return jnp.concatenate([bottom, v[:, 1:]], axis=1)
 
 
-def dist_vmult(op_local, u: jax.Array, n_dev: int, backend: str,
-               constrained_identity: bool = True) -> jax.Array:
-    """Distributed operator apply on one device's slab (inside shard_map):
-    masked local apply, halo sum, mask again (global Dirichlet)."""
-    mask = op_local.mask
+def _apply(op_local, u: jax.Array, backend: str) -> jax.Array:
     if backend == "pallas":
         from mf_data_locality_tpu.ops import laplace_pallas as lp
-        raw = lp.apply_lattice(op_local, u * mask)
+        return lp.apply_lattice(op_local, u)
+    from mf_data_locality_tpu.ops import laplace_structured as ls
+    return ls.apply_lattice(op_local, u)
+
+
+def _sub_op(op_local, c0: int, c1: int, backend: str):
+    """Operator data restricted to the z-cell-layer range [c0, c1) of the slab.
+
+    Used by the overlapped apply; only geometry arrays change — the dense
+    matrices are shared.  c0/c1 are Python ints, so shapes stay static.
+    """
+    from dataclasses import replace as drep
+
+    if backend == "pallas":
+        from mf_data_locality_tpu.ops import laplace_pallas as lp
+
+        p1 = round(op_local.mats.shape[1] ** (1 / 3))
+        p = p1 - 1
+        ny, nx = op_local.mask.shape[2], op_local.mask.shape[3]
+        ncyx = ((ny - 1) // p) * ((nx - 1) // p)
+        co = op_local.coeffs[:, :, c0 * ncyx:c1 * ncyx]
+        nc_sub = (c1 - c0) * ncyx
+        B = op_local.block
+        nc_pad = -(-nc_sub // B) * B
+        if nc_pad > nc_sub:
+            # unit-geometry dummy cells (poisson_operator.h:269-280)
+            padco = jnp.zeros((3, 8, nc_pad - nc_sub), co.dtype)
+            padco = padco.at[0, 1].set(1.0).at[1, 2].set(1.0).at[2, 4].set(1.0)
+            co = jnp.concatenate([co, padco], axis=2)
+        return drep(op_local, coeffs=co)
+    return op_local._replace(coeffs=op_local.coeffs[c0:c1])
+
+
+def dist_vmult(op_local, u: jax.Array, n_dev: int, backend: str,
+               constrained_identity: bool = True,
+               overlap: bool = False) -> jax.Array:
+    """Distributed operator apply on one device's slab (inside shard_map):
+    masked local apply, halo sum, mask again (global Dirichlet).
+
+    ``overlap=True`` computes the boundary cell layers first and launches the
+    compress ppermute before the interior apply — the TPU analog of the
+    reference's before/after-ghost cell partitions inside ``cell_loop``
+    (``poisson_operator.h:310,339``; SURVEY.md §2 parallelism item 3).  XLA's
+    async collectives can then hide the ICI transfer behind interior compute.
+    """
+    mask = op_local.mask
+    um = u * mask
+    if backend == "pallas":
+        p1 = round(op_local.mats.shape[1] ** (1 / 3))
     else:
-        from mf_data_locality_tpu.ops import laplace_structured as ls
-        raw = ls.apply_lattice(op_local, u * mask)
-    raw = _halo_sum(raw, n_dev)
+        p1 = op_local.values.shape[1]
+    p = p1 - 1
+    Pp = um.shape[1] - 1  # owned planes per slab
+    ncz_loc = Pp // p
+
+    if not overlap or n_dev == 1 or ncz_loc < 3:
+        raw = _apply(op_local, um, backend)
+        raw = _halo_sum(raw, n_dev)
+    else:
+        v_bot = _apply(_sub_op(op_local, 0, 1, backend), um[:, :p + 1], backend)
+        v_top = _apply(_sub_op(op_local, ncz_loc - 1, ncz_loc, backend),
+                       um[:, Pp - p:], backend)
+        # compress transfer starts now; interior compute proceeds concurrently
+        down = [(d, d - 1) for d in range(1, n_dev)]
+        recv_bot = jax.lax.ppermute(v_bot[:, :1], AXIS, down)
+
+        v_int = _apply(_sub_op(op_local, 1, ncz_loc - 1, backend),
+                       um[:, p:Pp - p + 1], backend)
+
+        raw = jnp.zeros_like(um)
+        raw = jax.lax.dynamic_update_slice_in_dim(raw, v_bot, 0, axis=1)
+        raw = raw.at[:, p:Pp - p + 1].add(v_int)
+        raw = raw.at[:, Pp - p:].add(v_top)
+        raw = raw.at[:, -1:].add(recv_bot)
+        up = [(d, d + 1) for d in range(n_dev - 1)]
+        recv_top = jax.lax.ppermute(raw[:, -1:], AXIS, up)
+        idx = jax.lax.axis_index(AXIS)
+        bottom = jnp.where(idx > 0, recv_top, raw[:, :1])
+        raw = jnp.concatenate([bottom, raw[:, 1:]], axis=1)
+
     v = raw * mask
     if constrained_identity:
         v = v + u * (1.0 - mask)
@@ -223,7 +294,8 @@ def _index0(tree):
 
 
 def solve(dist: DistributedBP4, mesh: Mesh, solver: str = "merged",
-          max_iter: int = 100, rel_tol: float = 1e-8) -> cg.SolveResult:
+          max_iter: int = 100, rel_tol: float = 1e-8,
+          overlap: bool = False) -> cg.SolveResult:
     """Full distributed CG solve; one shard_map region, loop on device.
 
     The merged variant performs exactly ONE collective per iteration (the
@@ -240,7 +312,8 @@ def solve(dist: DistributedBP4, mesh: Mesh, solver: str = "merged",
         b_loc = b[0]
         w = weight[0]
         a = partial(dist_vmult, op_local, n_dev=n_dev, backend=backend,
-                    constrained_identity=(solver == "baseline"))
+                    constrained_identity=(solver == "baseline"),
+                    overlap=overlap)
         if solver == "merged":
             res = cg_merged.merged_cg_solve(
                 a, b_loc, prec, max_iter=max_iter, rel_tol=rel_tol,

@@ -85,3 +85,28 @@ def test_replication_invariant_preserved():
     x = np.asarray(rd.x)
     for d in range(1, 8):
         np.testing.assert_array_equal(x[d - 1][:, -1], x[d][:, 0])
+
+
+@requires_8
+def test_overlapped_halo_exchange_matches():
+    """Boundary-first apply with overlapped compress transfer == plain path.
+
+    (SURVEY.md §2 parallelism item 3: comm/compute overlap.)"""
+    s, p, D = 12, 1, 4  # ncz = 16 -> 4 cell layers per device
+    dp, mesh = dist.build_distributed(s, p, n_devices=D, dtype=jnp.float64,
+                                      backend="structured")
+    r_plain = dist.solve(dp, mesh, solver="merged", max_iter=30)
+    r_over = dist.solve(dp, mesh, solver="merged", max_iter=30, overlap=True)
+    assert int(r_plain.n_iterations) == int(r_over.n_iterations)
+    xp_ = np.asarray(r_plain.x)
+    xo = np.asarray(r_over.x)
+    assert np.abs(xp_ - xo).max() < 1e-12 * max(np.abs(xp_).max(), 1.0)
+
+
+@requires_8
+def test_overlap_fallback_small_slabs():
+    """ncz_loc < 3 falls back to the plain path without error."""
+    dp, mesh = dist.build_distributed(9, 2, n_devices=8, dtype=jnp.float64,
+                                      backend="structured")
+    r = dist.solve(dp, mesh, solver="merged", max_iter=10, overlap=True)
+    assert int(r.n_iterations) == 10
