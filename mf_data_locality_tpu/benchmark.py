@@ -81,10 +81,14 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         print(f"Setup time:         {_time.perf_counter() - setup_t0:.3f}s",
               file=sys.stderr)
 
+    lat = ((problem.n_components,) + problem.layout.n_nodes_axis
+           if backend != "general" else None)
+
     # operator data passed as jit arguments, not baked-in constants
     @jax.jit
     def solve_jit(op, inv_diag, b):
-        a = partial(vmult_fn, op, constrained_identity=(solver == "baseline"))
+        raw = partial(vmult_fn, op, constrained_identity=(solver == "baseline"))
+        a = raw if lat is None else (lambda u: raw(u.reshape(lat)).reshape(u.shape))
         if solver == "merged":
             return cg_merged.merged_cg_solve(a, b, inv_diag)
         return cg.cg_solve(a, b, inv_diag)
@@ -97,8 +101,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         lambda: solve_jit(*args).res_norm, repeats=solve_repeats, warmup=0)
 
     matvec_time = timing.time_scan_fetch(
-        lambda v: vmult_fn(problem.op, v, constrained_identity=True),
-        problem.b, inner=matvec_inner, repeats=matvec_repeats)
+        problem.a_apply_full, problem.b,
+        inner=matvec_inner, repeats=matvec_repeats)
 
     if verbose:
         hist = [float(r) for r in result.res_history[: n_it + 1]]

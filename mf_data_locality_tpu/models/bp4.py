@@ -52,15 +52,31 @@ class BP4Problem:
     def n_dofs(self) -> int:
         return self.layout.n_nodes * self.n_components
 
+    def _wrap(self, constrained_identity: bool) -> Callable[[jax.Array], jax.Array]:
+        fn = partial(_VMULT[self.backend], self.op,
+                     constrained_identity=constrained_identity)
+        if self.backend == "general":
+            return fn
+        # lattice backends: solver vectors stay FLAT (C, n_nodes) — lattice
+        # axes are 2^k + 1, whose tile padding wastes ~2x bandwidth on every
+        # elementwise solver sweep; reshape to the lattice only inside the
+        # operator (free relayout under fusion)
+        lat = (self.n_components,) + self.layout.n_nodes_axis
+
+        def apply_flat(u):
+            return fn(u.reshape(lat)).reshape(u.shape)
+
+        return apply_flat
+
     @property
     def a_apply(self) -> Callable[[jax.Array], jax.Array]:
         """Operator application without constrained identity (merged-CG form)."""
-        return partial(_VMULT[self.backend], self.op, constrained_identity=False)
+        return self._wrap(False)
 
     @property
     def a_apply_full(self) -> Callable[[jax.Array], jax.Array]:
         """Operator with constrained identity (reference vmult semantics)."""
-        return partial(_VMULT[self.backend], self.op, constrained_identity=True)
+        return self._wrap(True)
 
 
 _VMULT = {
@@ -91,10 +107,8 @@ def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
         else:
             op = laplace_pallas.make_pallas_operator(layout, n_q=n_q,
                                                      dtype=dtype)
-        shape = (n_components,) + layout.n_nodes_axis
-        return BP4Problem(layout, op, inv_diag.reshape((1,) + layout.n_nodes_axis),
-                          jnp.asarray(b.reshape(shape), dtype=dtype),
-                          n_components, backend)
+        return BP4Problem(layout, op, inv_diag[None, :],
+                          jnp.asarray(b, dtype=dtype), n_components, backend)
     if backend == "general":
         op = laplace.make_operator(layout, n_q=n_q, dtype=dtype)
         return BP4Problem(layout, op, inv_diag[None, :],
