@@ -30,8 +30,8 @@ def test_distributed_merged_matches_single(n_dev):
 
     assert int(rd.n_iterations) == int(r1.n_iterations)
     assert np.isclose(float(rd.res_norm), float(r1.res_norm), rtol=1e-9)
-    xg = dist.gather_global(rd.x)
-    x1 = np.asarray(r1.x)
+    xg = dist.gather_global(rd.x).reshape(3, -1)
+    x1 = np.asarray(r1.x).reshape(3, -1)
     assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
 
 
@@ -45,8 +45,8 @@ def test_distributed_baseline_matches_single():
                                       dtype=jnp.float64, backend="structured")
     rd = dist.solve(dp, mesh, solver="baseline")
     assert int(rd.n_iterations) == int(r1.n_iterations)
-    xg = dist.gather_global(rd.x)
-    x1 = np.asarray(r1.x)
+    xg = dist.gather_global(rd.x).reshape(3, -1)
+    x1 = np.asarray(r1.x).reshape(3, -1)
     assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
 
 
