@@ -83,26 +83,25 @@ def merged_cg_solve(
     def update4b(x, g, d, h, alpha, beta, alpha_old_eff, beta_old):
         """Vector updates preceding the sweep (solver_cg_optimized.h:65-161).
 
-        Three cases keyed exactly as the reference: first iteration
-        (alpha == 0), delayed-x iteration (alpha_old_eff == 0), steady state.
+        The reference branches three ways (first iteration, delayed-x
+        iteration, steady state) for CPU efficiency; on TPU the branches
+        collapse into one *unconditional* fused sweep with two predicated
+        scalar coefficients — identical arithmetic in every case:
+
+          first (alpha = 0):       g' = g (alpha=0), d' = -P g (beta=0), x' = x
+          delayed (alpha_old = 0): x' = x,  g' = g + alpha h,  d' = beta d - P g'
+          steady:                  x' = x + (alpha + a/b) d + (a/b) P g, ...
         """
+        is_delayed_pay = alpha_old_eff != 0
+        safe_b = jnp.where(beta_old == 0, 1.0, beta_old)
+        aob = jnp.where(is_delayed_pay, alpha_old_eff / safe_b, zero)
+        c1 = jnp.where(is_delayed_pay, alpha + aob, zero)
+
         pg = prec * g
-
-        def first(_):
-            return x, g, -pg
-
-        def no_x(_):
-            g2 = g + alpha * h
-            return x, g2, beta * d - prec * g2
-
-        def steady(_):
-            combined = alpha + alpha_old_eff / beta_old
-            x2 = x + combined * d + (alpha_old_eff / beta_old) * pg
-            g2 = g + alpha * h
-            return x2, g2, beta * d - prec * g2
-
-        branch = jnp.where(alpha == 0, 0, jnp.where(alpha_old_eff == 0, 1, 2))
-        return jax.lax.switch(branch, [first, no_x, steady], None)
+        x2 = x + c1 * d + aob * pg
+        g2 = g + alpha * h
+        d2 = beta * d - prec * g2
+        return x2, g2, d2
 
     # initial residual g = -b for x0 = 0 (solver_cg_optimized.h:221-228)
     g0 = -b
