@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mf_data_locality_tpu.mesh.box import BoxMesh
 from mf_data_locality_tpu.mesh.dofs import DofLayout
 from mf_data_locality_tpu.ops import geometry, lagrange
 

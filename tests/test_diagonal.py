@@ -1,6 +1,5 @@
 """Closed-form GLL diagonal vs brute-force dense GLL assembly."""
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

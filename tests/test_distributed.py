@@ -53,8 +53,6 @@ def test_distributed_baseline_matches_single():
 @requires_8
 def test_distributed_matvec_matches_single():
     """One distributed vmult == single-device vmult (halo-sum correctness)."""
-    from functools import partial
-
     from jax.sharding import PartitionSpec as P
 
     s, p = 6, 3  # ncz = 4

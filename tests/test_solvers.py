@@ -9,8 +9,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mf_data_locality_tpu.mesh.box import BoxMesh
-from mf_data_locality_tpu.mesh.dofs import DofLayout
 from mf_data_locality_tpu.models import bp4
 from mf_data_locality_tpu.ops import laplace
 from mf_data_locality_tpu.solvers import cg, cg_merged

@@ -12,7 +12,6 @@ import numpy as np
 import pytest
 
 from mf_data_locality_tpu.models import bp4
-from mf_data_locality_tpu.ops import laplace
 from mf_data_locality_tpu.solvers import cg_merged
 
 
