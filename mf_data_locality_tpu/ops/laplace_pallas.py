@@ -80,8 +80,9 @@ def _monomial_derivative_matrices(q_points: np.ndarray) -> tuple[np.ndarray, ...
 
 
 def _block_size(p: int) -> int:
-    """Cells per kernel block; sized so VMEM working set stays ~<= 8 MB."""
-    return {1: 1024, 2: 512, 3: 256, 4: 128, 5: 128, 6: 128}.get(p, 128)
+    """Cells per kernel block: multiples of 128 (Mosaic lane constraint),
+    sized so the VMEM working set stays within the ~16 MB scoped limit."""
+    return {1: 1024, 2: 512, 3: 256, 4: 256, 5: 128, 6: 128}.get(p, 128)
 
 
 @jax.tree_util.register_dataclass
@@ -149,13 +150,6 @@ def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
     # iteration counts drift (the reference runs f64 end to end).
     prec = jax.lax.Precision.HIGHEST
 
-    u = u_ref[:].reshape(p13, n_comp * B)
-
-    # reference-space gradients at all q-points: ONE fused MXU matmul for all
-    # three directions (rows stacked e-major)
-    g_all = jnp.dot(mats_ref[:], u, preferred_element_type=f32, precision=prec)
-    g = g_all.reshape(3, q3, n_comp, B)
-
     # Jacobian entries j[d][e] = P_e @ coeffs[d]: three stacked matmuls
     co = co_ref[:]
     j_all = [jnp.dot(pds_ref[:], co[d], preferred_element_type=f32,
@@ -177,21 +171,28 @@ def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
     scale = w3_ref[:] / det
 
     def gmat(e, f):
-        return (scale * (adj[e][0] * adj[f][0] + adj[e][1] * adj[f][1]
-                         + adj[e][2] * adj[f][2]))[:, None, :]
+        return scale * (adj[e][0] * adj[f][0] + adj[e][1] * adj[f][1]
+                        + adj[e][2] * adj[f][2])
 
     g00, g01, g02 = gmat(0, 0), gmat(0, 1), gmat(0, 2)
     g11, g12, g22 = gmat(1, 1), gmat(1, 2), gmat(2, 2)
-    t0 = g00 * g[0] + g01 * g[1] + g02 * g[2]
-    t1 = g01 * g[0] + g11 * g[1] + g12 * g[2]
-    t2 = g02 * g[0] + g12 * g[1] + g22 * g[2]
-    t_all = jnp.stack([t0, t1, t2]).reshape(3 * q3, n_comp * B)
 
-    # transpose apply: ONE contraction over the stacked 3*q^3 axis — MXU again
+    # per-component pipeline: geometry (above) is computed ONCE; looping over
+    # components keeps the VMEM working set ~3x smaller, which is what lets
+    # p=5,6 (q^3=343,512) fit the ~16 MB scoped limit
     dn = (((0,), (0,)), ((), ()))
-    v = jax.lax.dot_general(mats_ref[:], t_all, dn, preferred_element_type=f32,
-                            precision=prec)
-    out_ref[:] = v.reshape(p13, n_comp, B).astype(out_ref.dtype)
+    for c in range(n_comp):
+        u_c = u_ref[:, c, :]  # (p13, B)
+        g_all = jnp.dot(mats_ref[:], u_c, preferred_element_type=f32,
+                        precision=prec)
+        g = g_all.reshape(3, q3, B)
+        t0 = g00 * g[0] + g01 * g[1] + g02 * g[2]
+        t1 = g01 * g[0] + g11 * g[1] + g12 * g[2]
+        t2 = g02 * g[0] + g12 * g[1] + g22 * g[2]
+        t_all = jnp.concatenate([t0, t1, t2], axis=0)  # (3*q3, B)
+        v = jax.lax.dot_general(mats_ref[:], t_all, dn,
+                                preferred_element_type=f32, precision=prec)
+        out_ref[:, c, :] = v.astype(out_ref.dtype)
 
 
 def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
