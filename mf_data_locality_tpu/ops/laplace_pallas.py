@@ -232,6 +232,11 @@ def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
             bytes_accessed=(2 * p13 * n_comp + 24) * nc_pad * 4,
             transcendentals=0,
         ),
+        # alias u_loc with the output: each component's result is written
+        # only after that component's input is consumed, so reuse is safe;
+        # halves the custom call's buffer footprint (at p=5 XLA otherwise
+        # places both whole arrays in VMEM and overflows the scoped limit)
+        input_output_aliases={3: 0},
         interpret=interpret,
     )(op.mats, op.pds, op.w3, u_loc, op.coeffs)
 
