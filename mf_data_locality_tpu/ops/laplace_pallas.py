@@ -139,10 +139,14 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
 
 
 def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
-    """One cell block: v_loc = sum_e M_e^T diag(G) M_f u_loc, VMEM-resident."""
-    p13 = u_ref.shape[0]
-    n_comp = u_ref.shape[1]
-    B = u_ref.shape[2]
+    """One cell block: v_loc = sum_e M_e^T diag(G) M_f u_loc, VMEM-resident.
+
+    I/O is 2D ``(n_comp * p1^3, B)`` — components flattened into rows so the
+    sublane dimension has no 3->8 padding (a 2.7x footprint penalty at C=3).
+    """
+    p13 = mats_ref.shape[1]
+    n_comp = u_ref.shape[0] // p13
+    B = u_ref.shape[1]
     q3 = w3_ref.shape[0]
     f32 = jnp.float32 if u_ref.dtype in (jnp.float32, jnp.bfloat16) else u_ref.dtype
     # TPU f32 dots default to one bf16 pass (~1e-3 error); HIGHEST selects the
@@ -182,7 +186,7 @@ def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
     # p=5,6 (q^3=343,512) fit the ~16 MB scoped limit
     dn = (((0,), (0,)), ((), ()))
     for c in range(n_comp):
-        u_c = u_ref[:, c, :]  # (p13, B)
+        u_c = u_ref[c * p13:(c + 1) * p13, :]  # (p13, B)
         g_all = jnp.dot(mats_ref[:], u_c, preferred_element_type=f32,
                         precision=prec)
         g = g_all.reshape(3, q3, B)
@@ -192,19 +196,22 @@ def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
         t_all = jnp.concatenate([t0, t1, t2], axis=0)  # (3*q3, B)
         v = jax.lax.dot_general(mats_ref[:], t_all, dn,
                                 preferred_element_type=f32, precision=prec)
-        out_ref[:, c, :] = v.astype(out_ref.dtype)
+        out_ref[c * p13:(c + 1) * p13, :] = v.astype(out_ref.dtype)
 
 
 def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
                         interpret: bool | None = None) -> jax.Array:
     """Run the fused kernel over all cell blocks.
 
-    ``u_loc``: (p1^3, C, nc_pad) -> same shape.  ``interpret=None`` selects
-    the Pallas interpreter automatically on CPU backends (tests / fallback).
+    ``u_loc``: (C * p1^3, nc_pad) -> same shape (components flattened into
+    rows — no sublane padding).  ``interpret=None`` selects the Pallas
+    interpreter automatically on CPU backends (tests / fallback).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    p13, n_comp, nc_pad = u_loc.shape
+    cp13, nc_pad = u_loc.shape
+    p13 = op.mats.shape[1]
+    n_comp = cp13 // p13
     B = op.block
     q3 = op.w3.shape[0]
     grid = (nc_pad // B,)
@@ -219,12 +226,12 @@ def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
             pl.BlockSpec((3 * q3, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((q3, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p13, n_comp, B), lambda i: (0, 0, i),
+            pl.BlockSpec((cp13, B), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 8, B), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((p13, n_comp, B), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((cp13, B), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(u_loc.shape, u_loc.dtype),
         cost_estimate=pl.CostEstimate(
@@ -242,7 +249,7 @@ def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
 
 
 def _to_cell_batches(u: jax.Array, p: int, nc_pad: int) -> jax.Array:
-    """(C, Nz, Ny, Nx) lattice -> (p1^3, C, nc_pad) cell batches.
+    """(C, Nz, Ny, Nx) lattice -> (C * p1^3, nc_pad) cell batches.
 
     Uses the transposed windowing (window dims before cell dims) so every
     intermediate keeps a large minor dimension — 4x faster than the naive
@@ -251,24 +258,24 @@ def _to_cell_batches(u: jax.Array, p: int, nc_pad: int) -> jax.Array:
     t = cellify_t(u, 3, p)  # (C, Nz, Ny, p1, ncx)
     t = cellify_t(t, 2, p)  # (C, Nz, p1, ncy, p1, ncx)
     t = cellify_t(t, 1, p)  # (C, p1, ncz, p1, ncy, p1, ncx)
-    t = t.transpose(1, 3, 5, 0, 2, 4, 6)  # (p1z, p1y, p1x, C, ncz, ncy, ncx)
-    p13 = t.shape[0] * t.shape[1] * t.shape[2]
-    n_comp = t.shape[3]
+    t = t.transpose(0, 1, 3, 5, 2, 4, 6)  # (C, p1z, p1y, p1x, ncz, ncy, ncx)
+    n_comp = t.shape[0]
+    p13 = t.shape[1] * t.shape[2] * t.shape[3]
     nc = t.shape[4] * t.shape[5] * t.shape[6]
-    t = t.reshape(p13, n_comp, nc)
+    t = t.reshape(n_comp * p13, nc)
     if nc_pad > nc:
-        t = jnp.pad(t, ((0, 0), (0, 0), (0, nc_pad - nc)))
+        t = jnp.pad(t, ((0, 0), (0, nc_pad - nc)))
     return t
 
 
 def _from_cell_batches(v: jax.Array, p: int, n_cells_axis) -> jax.Array:
-    """(p1^3, C, nc_pad) -> (C, Nz, Ny, Nx) with overlap accumulation."""
+    """(C * p1^3, nc_pad) -> (C, Nz, Ny, Nx) with overlap accumulation."""
     ncz, ncy, ncx = n_cells_axis
     nc = ncz * ncy * ncx
     p1 = p + 1
-    n_comp = v.shape[1]
-    v = v[:, :, :nc].reshape(p1, p1, p1, n_comp, ncz, ncy, ncx)
-    v = v.transpose(3, 0, 4, 1, 5, 2, 6)  # (C, p1z, ncz, p1y, ncy, p1x, ncx)
+    n_comp = v.shape[0] // p1**3
+    v = v[:, :nc].reshape(n_comp, p1, p1, p1, ncz, ncy, ncx)
+    v = v.transpose(0, 1, 4, 2, 5, 3, 6)  # (C, p1z, ncz, p1y, ncy, p1x, ncx)
     v = overlap_add_t(v, 1, p)
     v = overlap_add_t(v, 2, p)
     v = overlap_add_t(v, 3, p)
