@@ -240,10 +240,14 @@ def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
             transcendentals=0,
         ),
         # alias u_loc with the output: each component's result is written
-        # only after that component's input is consumed, so reuse is safe;
-        # halves the custom call's buffer footprint (at p=5 XLA otherwise
-        # places both whole arrays in VMEM and overflows the scoped limit)
+        # only after that component's input is consumed, so reuse is safe
+        # and halves the custom call's buffer footprint
         input_output_aliases={3: 0},
+        # raise the scoped-VMEM budget above the 16 MB soft default: XLA may
+        # additionally promote small while-loop carries into VMEM, and at
+        # p=5 (q^3=343) the combined footprint overflows otherwise
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(op.mats, op.pds, op.w3, u_loc, op.coeffs)
 
