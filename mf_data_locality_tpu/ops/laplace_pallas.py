@@ -82,7 +82,7 @@ def _monomial_derivative_matrices(q_points: np.ndarray) -> tuple[np.ndarray, ...
 def _block_size(p: int) -> int:
     """Cells per kernel block: multiples of 128 (Mosaic lane constraint),
     sized so the VMEM working set stays within the ~16 MB scoped limit."""
-    return {1: 2048, 2: 2048, 3: 256, 4: 256, 5: 128, 6: 128}.get(p, 128)
+    return {1: 2048, 2: 2048, 3: 1024, 4: 256, 5: 128, 6: 128}.get(p, 128)
 
 
 @jax.tree_util.register_dataclass
