@@ -5,7 +5,7 @@ The performance-critical realization of the reference hot loop
 rather than translated:
 
 * **Cells are vector lanes.** The reference packs 4-8 cells into CPU SIMD
-  lanes; here a block of 128-512 cells forms the minor axis of every VMEM
+  lanes; here a block of 128-2048 cells forms the minor axis of every VMEM
   array, so the VPU's (8, 128) lanes and the MXU's 128-wide tiles are always
   full.
 * **One VMEM-resident kernel.** The pure-XLA path materializes every
@@ -80,8 +80,10 @@ def _monomial_derivative_matrices(q_points: np.ndarray) -> tuple[np.ndarray, ...
 
 
 def _block_size(p: int) -> int:
-    """Cells per kernel block: multiples of 128 (Mosaic lane constraint),
-    sized so the VMEM working set stays within the ~16 MB scoped limit."""
+    """Cells per kernel block: multiples of 128 (Mosaic lane constraint).
+
+    Values are measured optima per degree (see BENCH_SWEEP.txt history); the
+    VMEM working set must stay within the raised 64 MB scoped budget."""
     return {1: 2048, 2: 2048, 3: 1024, 4: 256, 5: 128, 6: 128}.get(p, 128)
 
 
