@@ -84,7 +84,7 @@ def _block_size(p: int) -> int:
 
     Values are measured optima per degree (see BENCH_SWEEP.txt history); the
     VMEM working set must stay within the raised 64 MB scoped budget."""
-    return {1: 2048, 2: 2048, 3: 1024, 4: 256, 5: 128, 6: 128}.get(p, 128)
+    return {1: 2048, 2: 2048, 3: 1024, 4: 256, 5: 256, 6: 128}.get(p, 128)
 
 
 @jax.tree_util.register_dataclass
