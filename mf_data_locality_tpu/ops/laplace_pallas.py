@@ -108,6 +108,8 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
     q = n_q if n_q is not None else p + 2
     shape = lagrange.make_shape(p, q)
     B = block or _block_size(p)
+    # small meshes: don't pad beyond the cell count (lane-aligned)
+    B = min(B, max(128, -(-layout.mesh.n_cells // 128) * 128))
 
     # stacked row-wise (3*q^3 rows): one fused MXU matmul computes all three
     # gradient directions — fewer, larger matmuls tile far better at low p
