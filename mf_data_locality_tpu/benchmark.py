@@ -58,6 +58,7 @@ class RunResult:
 
 def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             backend: str = "structured", verbose: bool = False,
+            precision: str = "highest", windowing: str = "reshape",
             solve_repeats: int = 4, matvec_repeats: int = 2,
             matvec_inner: int = 50) -> RunResult:
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``)."""
@@ -69,7 +70,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     import time as _time
 
     setup_t0 = _time.perf_counter()
-    problem = bp4.build(s, degree, dtype=dtype, backend=backend)
+    problem = bp4.build(s, degree, dtype=dtype, backend=backend,
+                        precision=precision, windowing=windowing)
     vmult_fn = _VMULT[backend]
     if verbose:
         # reference verbose mode: diagonal norm + setup time
@@ -124,30 +126,37 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
 
 def run_one_distributed(degree: int, s: int, n_devices: int,
                         solver: str = "merged", dtype=jnp.float32,
-                        backend: str = "pallas",
-                        solve_repeats: int = 4) -> RunResult:
-    """Distributed solve timing over an n-device z-slab mesh.
+                        backend: str = "pallas", overlap: bool = False,
+                        solve_repeats: int = 4, matvec_repeats: int = 2,
+                        matvec_inner: int = 50) -> RunResult:
+    """Distributed solve + matvec timing over an n-device z-slab mesh.
 
     The multi-rank analog of the reference run: one 7-scalar psum per merged
-    iteration, halo ppermutes inside the operator.  Reports solver metrics
-    (the per-rank matvec is measured by the single-device path).
+    iteration, halo ppermutes inside the operator.
     """
     from mf_data_locality_tpu.parallel import distributed as dist
 
     dp, mesh = dist.build_distributed(s, degree, n_devices=n_devices,
                                       dtype=dtype, backend=backend)
-    result = dist.solve(dp, mesh, solver=solver)  # compile + warmup
+    result = dist.solve(dp, mesh, solver=solver, overlap=overlap)
     n_it = int(result.n_iterations)
     solver_time = timing.time_min_fetch(
-        lambda: dist.solve(dp, mesh, solver=solver).res_norm,
+        lambda: dist.solve(dp, mesh, solver=solver,
+                           overlap=overlap).res_norm,
         repeats=solve_repeats, warmup=0)
+
+    mv = dist.dist_matvec_jit(dp, mesh, overlap=overlap)
+    matvec_time = timing.time_scan_fetch(
+        lambda u: mv(dp.op_stack, u), dp.b,
+        inner=matvec_inner, repeats=matvec_repeats)
+
     return RunResult(
         degree=degree, n_q=degree + 2,
-        n_cells=2 ** s, n_dofs=dp.n_dofs,
+        n_cells=dp.n_cells, n_dofs=dp.n_dofs,
         time_per_it=solver_time / max(n_it, 1),
         dofs_per_s_per_it=dp.n_dofs / solver_time * n_it,
         n_iterations=n_it,
-        time_per_matvec=float("nan"),
+        time_per_matvec=matvec_time,
         converged=bool(result.converged),
     )
 
@@ -183,22 +192,35 @@ def main(argv: list[str] | None = None) -> None:
                     default="pallas")
     ap.add_argument("--devices", type=int, default=0,
                     help="distribute over N devices (0 = single-device path)")
+    ap.add_argument("--precision", choices=["highest", "split3", "bf16"],
+                    default="highest",
+                    help="pallas kernel matmul precision strategy")
+    ap.add_argument("--windowing",
+                    choices=["reshape", "matmul", "conv", "zslab"],
+                    default="reshape",
+                    help="pallas lattice<->cell-batch windowing strategy")
+    ap.add_argument("--overlap", action="store_true",
+                    help="overlap halo exchange with interior compute "
+                         "(distributed path)")
     args = ap.parse_args(argv)
 
     if not 1 <= args.degree <= 11:
         raise SystemExit("Only degrees 1..11 implemented")  # benchmark.h:313
 
     dtype = DTYPES[args.dtype]
-    sizes = [args.s] if args.s >= 1 else ladder_sizes(args.degree)
+    sizes = ([args.s] if args.s >= 1
+             else ladder_sizes(args.degree,
+                               n_devices=args.devices or None))
     print(HEADER)
     for s in sizes:
         if args.devices > 0:
             r = run_one_distributed(args.degree, s, args.devices,
                                     solver=args.solver, dtype=dtype,
-                                    backend=args.backend)
+                                    backend=args.backend, overlap=args.overlap)
         else:
             r = run_one(args.degree, s, solver=args.solver, dtype=dtype,
-                        backend=args.backend, verbose=not args.compact)
+                        backend=args.backend, verbose=not args.compact,
+                        precision=args.precision, windowing=args.windowing)
         print(r.row() + ("" if r.converged else "   [not converged]"))
 
 

@@ -31,24 +31,43 @@ def locality_permutation_np(gather: np.ndarray, n_nodes: int,
                             ghost_flags: np.ndarray | None = None,
                             touch_order: str = "first",
                             grouping: str = "touch_count",
+                            batch_cells: int | None = None,
                             ) -> tuple[np.ndarray, int]:
     """Pure-NumPy locality permutation: returns (perm old->new, n_interior).
 
     ``touch_order``: "first" (renumber strategy 1, ``first_touch_renumber``
     :461-474) or "last" (strategy 0, ``last_touch_renumber`` :476-490).
-    ``grouping``: "touch_count" (grouping strategy 2, :556-590) or "none"
-    (strategy 0, ``base_grouping`` :537-554 — sweep order only, ghosts last).
+    ``grouping``: "touch_count" (grouping strategy 2, :556-590), "none"
+    (strategy 0, ``base_grouping`` :537-554 — sweep order only, ghosts last)
+    or "touch_count_cellbatch" (``touch_count_cellbatch`` :592-620 — touch
+    counts at cell-*batch* granularity: a node shared only within one batch
+    still counts as touched-once, since one kernel block resolves it
+    locally).
+
+    ``batch_cells`` quantizes the sweep positions to batches of that many
+    cells (``cellbatch_assembly`` :363-459): nodes first touched by the same
+    kernel cell block tie in sweep order and keep their relative old order.
+    On TPU the natural batch is the Pallas kernel's cell block (the analog
+    of the reference's ``VectorizedArray`` SIMD width).
     """
     flat = gather.reshape(-1)
+    nodes_per_cell = gather.shape[-1] if gather.ndim > 1 else 1
     touch = np.bincount(flat, minlength=n_nodes)
 
-    # touch order: index of first/last occurrence in the cell sweep
+    if batch_cells:
+        pos = np.arange(flat.size) // (nodes_per_cell * batch_cells)
+        n_batches = int(pos[-1]) + 1 if flat.size else 0
+    else:
+        pos = np.arange(flat.size)
+        n_batches = 0
+
+    # touch order: first/last batch (or flat position) in the cell sweep
     order_idx = np.full(n_nodes, flat.size, dtype=np.int64)
     if touch_order == "first":
-        np.minimum.at(order_idx, flat, np.arange(flat.size))
+        np.minimum.at(order_idx, flat, pos)
     elif touch_order == "last":
         order_idx[:] = -1
-        np.maximum.at(order_idx, flat, np.arange(flat.size))
+        np.maximum.at(order_idx, flat, pos)
         order_idx[order_idx < 0] = flat.size
     else:
         raise ValueError(touch_order)
@@ -58,6 +77,13 @@ def locality_permutation_np(gather: np.ndarray, n_nodes: int,
         ghost_flags = np.zeros(n_nodes, dtype=bool)
     if grouping == "touch_count":
         cls = np.where(ghost_flags, 2, np.where(touch == 1, 0, 1))
+    elif grouping == "touch_count_cellbatch":
+        bc = batch_cells or 1
+        batch_of_slot = np.arange(flat.size) // (nodes_per_cell * bc)
+        nb = int(batch_of_slot[-1]) + 1 if flat.size else 1
+        pairs = np.unique(flat.astype(np.int64) * nb + batch_of_slot)
+        touch_b = np.bincount(pairs // nb, minlength=n_nodes)
+        cls = np.where(ghost_flags, 2, np.where(touch_b <= 1, 0, 1))
     elif grouping == "none":
         cls = np.where(ghost_flags, 2, 0)
     else:
@@ -74,14 +100,17 @@ def locality_permutation(gather: np.ndarray, n_nodes: int,
                          ghost_flags: np.ndarray | None = None,
                          touch_order: str = "first",
                          grouping: str = "touch_count",
+                         batch_cells: int | None = None,
                          ) -> tuple[np.ndarray, int]:
     """Locality permutation; native C++ when available (default strategies
     only — the benchmark triple (0, 1, 2)), NumPy otherwise."""
-    if native.AVAILABLE and touch_order == "first" and grouping == "touch_count":
+    if (native.AVAILABLE and touch_order == "first"
+            and grouping == "touch_count" and not batch_cells):
         gf = None if ghost_flags is None else ghost_flags.astype(np.uint8)
         return native.renumber_locality(gather, n_nodes, gf)
     return locality_permutation_np(gather, n_nodes, ghost_flags,
-                                   touch_order=touch_order, grouping=grouping)
+                                   touch_order=touch_order, grouping=grouping,
+                                   batch_cells=batch_cells)
 
 
 def apply_permutation(gather: np.ndarray, perm: np.ndarray) -> np.ndarray:

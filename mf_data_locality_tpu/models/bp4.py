@@ -87,10 +87,17 @@ _VMULT = {
 
 
 def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
-          n_q: int | None = None, backend: str = "pallas") -> BP4Problem:
+          n_q: int | None = None, backend: str = "pallas",
+          precision: str = "highest",
+          windowing: str = "reshape") -> BP4Problem:
     layout = DofLayout(BoxMesh.from_s(s), degree)
 
-    # RHS: dof % 8 on unconstrained DoFs, components interleaved per node
+    # RHS: dof % 8 on unconstrained DoFs, components interleaved per node.
+    # NOTE: the %8 pattern is applied in THIS framework's numbering
+    # (node-major lattice order, components interleaved per node), while the
+    # reference fills i % 8 over its rank-local renumbered ordering
+    # (benchmark.h:170-176) — same protocol, different permutation of the
+    # values, so itCG can differ slightly from published reference logs.
     n = layout.n_nodes
     dof_index = (np.arange(n)[:, None] * n_components
                  + np.arange(n_components)[None, :])
@@ -98,15 +105,22 @@ def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
     b[layout.boundary_node_mask] = 0.0
     b = b.T  # (C, n_nodes)
 
-    inv_diag = diagonal.compute_inverse_diagonal(layout, dtype=dtype)
+    if dtype == jnp.bfloat16 and backend != "pallas":
+        raise ValueError("bf16 vector storage is supported on the pallas "
+                         "backend (f32 in-kernel compute); use dtype=float32 "
+                         f"with backend={backend!r}")
+    comp_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    inv_diag = diagonal.compute_inverse_diagonal(layout, dtype=comp_dtype)
+    inv_diag = inv_diag.astype(dtype)
 
     if backend in ("structured", "pallas"):
         if backend == "structured":
             op = laplace_structured.make_structured_operator(layout, n_q=n_q,
                                                              dtype=dtype)
         else:
-            op = laplace_pallas.make_pallas_operator(layout, n_q=n_q,
-                                                     dtype=dtype)
+            op = laplace_pallas.make_pallas_operator(
+                layout, n_q=n_q, dtype=dtype, precision=precision,
+                windowing=windowing)
         return BP4Problem(layout, op, inv_diag[None, :],
                           jnp.asarray(b, dtype=dtype), n_components, backend)
     if backend == "general":

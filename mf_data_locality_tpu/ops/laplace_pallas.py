@@ -97,19 +97,97 @@ class PallasOperatorData:
     w3: jax.Array  # (q^3, 1) tensor quadrature weights
     coeffs: jax.Array  # (3, 8, nc_pad) trilinear coefficients, cell-minor
     mask: jax.Array  # (1, Nz, Ny, Nx)
+    gmetric: jax.Array | None = None  # (6*q^3, nc_pad) precomputed metric
+    wmats: tuple | None = None  # (Wz, Wy, Wx) windowing matrices
     block: int = field(metadata=dict(static=True), default=128)
     n_cells: int = field(metadata=dict(static=True), default=0)
+    precision: str = field(metadata=dict(static=True), default="highest")
+    windowing: str = field(metadata=dict(static=True), default="reshape")
+
+
+def _metric_entries(coeffs: np.ndarray, q_points: np.ndarray,
+                    w3: np.ndarray) -> np.ndarray:
+    """Precompute G = det(J) w J^{-1} J^{-T} at all quadrature points (host, f64).
+
+    Returns the 6 unique entries (00, 01, 02, 11, 12, 22) stacked as rows:
+    shape (6*q^3, n_cells).  This is a deliberate departure from the
+    reference's 24-floats/cell on-the-fly geometry (``poisson_operator.h:
+    151-179``): on TPU the VPU work to rebuild J/adj/det per point (~120
+    elementwise passes per q-point) costs far more than streaming 6 extra
+    f32 words per q-point from HBM at ~900 GB/s, so the compute-for-bandwidth
+    trade flips (measured; see tools/MICROBENCH.txt).
+    """
+    qp = q_points
+    q = qp.size
+    w, v, u = np.meshgrid(qp, qp, qp, indexing="ij")
+    uvw = np.stack([u.reshape(-1), v.reshape(-1), w.reshape(-1)], axis=-1)
+    jac = geometry.jacobian(coeffs[:, None, :, :], uvw[None, :, :])
+    inv, det = geometry.invert_3x3(jac)  # (nc, q^3, 3, 3), (nc, q^3)
+    g = np.einsum("cqed,cqfd->cqef", inv, inv) * (det * w3.reshape(1, -1))[
+        ..., None, None]
+    entries = [g[..., 0, 0], g[..., 0, 1], g[..., 0, 2],
+               g[..., 1, 1], g[..., 1, 2], g[..., 2, 2]]
+    return np.concatenate([e.T for e in entries], axis=0)  # (6q^3, nc)
+
+
+def metric_for_coeffs(co_kernel: np.ndarray, p: int, q: int) -> np.ndarray:
+    """Precomputed metric from kernel-layout coefficients (3, 8, nc).
+
+    Host-side helper for the distributed path, which re-installs slab
+    geometry into an already-built operator (``parallel/distributed.py``).
+    Returns (6*q^3, nc) float64.
+    """
+    shape = lagrange.make_shape(p, q)
+    w = shape.q_weights
+    w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(-1, 1)
+    coeffs = np.asarray(co_kernel, np.float64).transpose(2, 1, 0)  # (nc, 8, 3)
+    return _metric_entries(coeffs, shape.q_points, w3)
+
+
+def dummy_metric_columns(w3, n_cols: int, xp=np):
+    """(6*q^3, n_cols) metric for unit-geometry dummy cells: G = diag(w)."""
+    q3 = w3.shape[0]
+    g = xp.zeros((6 * q3, n_cols), dtype=w3.dtype)
+    if n_cols == 0:
+        return g
+    if xp is np:
+        g[0 * q3:1 * q3] = w3
+        g[3 * q3:4 * q3] = w3
+        g[5 * q3:6 * q3] = w3
+        return g
+    g = g.at[0 * q3:1 * q3].set(w3)
+    g = g.at[3 * q3:4 * q3].set(w3)
+    g = g.at[5 * q3:6 * q3].set(w3)
+    return g
 
 
 def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
                          dtype=jnp.float32,
-                         block: int | None = None) -> PallasOperatorData:
+                         block: int | None = None,
+                         metric: str = "precomputed",
+                         precision: str = "highest",
+                         windowing: str = "reshape") -> PallasOperatorData:
+    """Build the Pallas operator.
+
+    ``metric``: "precomputed" stores the 6 metric entries per q-point
+    (6*q^3*4 bytes/cell of HBM) and streams them through the kernel;
+    "onthefly" stores 24 floats/cell and rebuilds J per q-point in-kernel
+    (the reference's trade, ``poisson_operator.h:151-179``) — keep for
+    memory-constrained cases.  ``precision``: "highest" (exact f32 matmuls),
+    "split3" (manual 3-product bf16 hi/lo split, ~1e-5 relative operator
+    error, f32-HIGH class), or "bf16" (single-pass, ~1e-3).
+    """
     p = layout.degree
     q = n_q if n_q is not None else p + 2
     shape = lagrange.make_shape(p, q)
     B = block or _block_size(p)
     # small meshes: don't pad beyond the cell count (lane-aligned)
     B = min(B, max(128, -(-layout.mesh.n_cells // 128) * 128))
+    # bf16 vectors: the stream (mask, windowing) stays bf16, but matrices,
+    # geometry and the metric are kept f32 — in-kernel compute is f32
+    vec_dtype = dtype
+    if dtype == jnp.bfloat16:
+        dtype = jnp.float32
 
     # stacked row-wise (3*q^3 rows): one fused MXU matmul computes all three
     # gradient directions — fewer, larger matmuls tile far better at low p
@@ -129,17 +207,125 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
     co[1, 2, nc:] = 1.0
     co[2, 4, nc:] = 1.0
 
+    gmetric = None
+    if metric == "precomputed":
+        gm = np.zeros((6 * q**3, nc_pad))
+        gm[:, :nc] = _metric_entries(coeffs, shape.q_points, w3)
+        # dummy cells: unit geometry -> G = diag(w)
+        gm[0 * q**3:1 * q**3, nc:] = w3
+        gm[3 * q**3:4 * q**3, nc:] = w3
+        gm[5 * q**3:6 * q**3, nc:] = w3
+        gmetric = jnp.asarray(gm, dtype=dtype)
+    elif metric != "onthefly":
+        raise ValueError(f"unknown metric mode {metric!r}")
+
     nz, ny, nx = layout.n_nodes_axis
     mask = (~layout.boundary_node_mask).reshape(1, nz, ny, nx)
+    wmats = None
+    if windowing == "matmul":
+        wmats = tuple(jnp.asarray(_window_matrix(n, p), dtype=vec_dtype)
+                      for n in (nz, ny, nx))
+    elif windowing == "zslab":
+        if gmetric is None:
+            raise ValueError("windowing='zslab' requires metric='precomputed'")
+        # the kernel grid walks z-cell-layers: one block = one layer of
+        # cells; no lane padding so the G stream stays layer-aligned
+        ncz_, ncy_, ncx_ = layout.mesh.n_cells_axis
+        B = ncy_ * ncx_
+        gmetric = gmetric[:, :nc]
+        co = co[:, :, :nc]
+        nc_pad = nc
+    elif windowing not in ("reshape", "conv"):
+        raise ValueError(f"unknown windowing mode {windowing!r}")
     return PallasOperatorData(
         mats=jnp.asarray(mats, dtype=dtype),
         pds=jnp.asarray(pds, dtype=dtype),
         w3=jnp.asarray(w3, dtype=dtype),
         coeffs=jnp.asarray(co, dtype=dtype),
-        mask=jnp.asarray(mask, dtype=dtype),
+        mask=jnp.asarray(mask, dtype=vec_dtype),
+        gmetric=gmetric,
+        wmats=wmats,
         block=B,
         n_cells=nc,
+        precision=precision,
+        windowing=windowing,
     )
+
+
+def _mm(a, b, precision, dims=None):
+    """Matmul with selectable precision strategy (MXU).
+
+    "highest": exact accumulation at the operand dtype (XLA HIGHEST,
+    multi-pass for f32).  "split3": manual bf16 hi/lo decomposition, 3
+    single-pass products hh + hl + lh accumulated in f32 — the HIGH-class
+    algorithm expressed explicitly so Mosaic cannot silently upgrade it.
+    "bf16": one pass on rounded operands.
+    """
+    dn = dims if dims is not None else (((1,), (0,)), ((), ()))
+    f32 = jnp.float32 if a.dtype in (jnp.float32, jnp.bfloat16) else a.dtype
+    if precision == "split3":
+        def parts(x):
+            if x.dtype == jnp.bfloat16:
+                return [x]  # already exact in bf16 — nothing to split
+            xh = x.astype(jnp.bfloat16)
+            return [xh, (x - xh.astype(x.dtype)).astype(jnp.bfloat16)]
+
+        pa, pb = parts(a), parts(b)
+        d = lambda x, y: jax.lax.dot_general(  # noqa: E731
+            x, y, dn, preferred_element_type=f32)
+        # hi*hi + hi*lo + lo*hi (drop lo*lo: below f32 working precision)
+        out = d(pa[0], pb[0])
+        if len(pb) > 1:
+            out = out + d(pa[0], pb[1])
+        if len(pa) > 1:
+            out = out + d(pa[1], pb[0])
+        return out
+    if precision == "bf16":
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dn,
+            preferred_element_type=f32)
+    if a.dtype != b.dtype:  # bf16 stream against f32 matrices: upcast
+        wide = a.dtype if a.dtype.itemsize >= b.dtype.itemsize else b.dtype
+        a, b = a.astype(wide), b.astype(wide)
+    return jax.lax.dot_general(
+        a, b, dn, preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _kernel_g(precision, mats_ref, g6_ref, u_ref, out_ref):
+    """Precomputed-metric cell block: v = sum_e M_e^T (G_ef (M_f u)).
+
+    The geometry pipeline (trilinear Jacobian -> adjugate -> det -> G) is
+    hoisted to setup (:func:`_metric_entries`); the kernel streams the 6
+    unique G entries per q-point from HBM and spends its time purely on the
+    two stacked MXU contractions + 15 VPU passes of the symmetric apply.
+
+    Phased structure (all forwards, then all metric applies, then all
+    transposes) keeps the per-component chains visibly independent so the
+    scheduler can overlap MXU matmuls of one component with VPU work of
+    another.
+    """
+    p13 = mats_ref.shape[1]
+    n_comp = u_ref.shape[0] // p13
+    q3 = g6_ref.shape[0] // 6
+    m = mats_ref[:]
+    g6 = g6_ref[:]
+    g00, g01, g02 = g6[:q3], g6[q3:2 * q3], g6[2 * q3:3 * q3]
+    g11, g12, g22 = g6[3 * q3:4 * q3], g6[4 * q3:5 * q3], g6[5 * q3:]
+    dn_t = (((0,), (0,)), ((), ()))
+    grads = []
+    for c in range(n_comp):
+        u_c = u_ref[c * p13:(c + 1) * p13, :]
+        grads.append(_mm(m, u_c, precision).reshape(3, q3, u_c.shape[1]))
+    ts = []
+    for g in grads:
+        t0 = g00 * g[0] + g01 * g[1] + g02 * g[2]
+        t1 = g01 * g[0] + g11 * g[1] + g12 * g[2]
+        t2 = g02 * g[0] + g12 * g[1] + g22 * g[2]
+        ts.append(jnp.concatenate([t0, t1, t2], axis=0))  # (3*q3, B)
+    for c, t_all in enumerate(ts):
+        v = _mm(m, t_all, precision, dims=dn_t)
+        out_ref[c * p13:(c + 1) * p13, :] = v.astype(out_ref.dtype)
 
 
 def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
@@ -190,7 +376,7 @@ def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
     # p=5,6 (q^3=343,512) fit the ~16 MB scoped limit
     dn = (((0,), (0,)), ((), ()))
     for c in range(n_comp):
-        u_c = u_ref[c * p13:(c + 1) * p13, :]  # (p13, B)
+        u_c = u_ref[c * p13:(c + 1) * p13, :].astype(f32)  # (p13, B)
         g_all = jnp.dot(mats_ref[:], u_c, preferred_element_type=f32,
                         precision=prec)
         g = g_all.reshape(3, q3, B)
@@ -201,6 +387,126 @@ def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
         v = jax.lax.dot_general(mats_ref[:], t_all, dn,
                                 preferred_element_type=f32, precision=prec)
         out_ref[c * p13:(c + 1) * p13, :] = v.astype(out_ref.dtype)
+
+
+def _kernel_g_zslab(precision, n_comp, mats_ref, g6_ref, um_ref, up_ref,
+                    out_main_ref, out_top_ref, carry_ref):
+    """One z-cell-layer with in-kernel z-windowing and carry-plane scatter.
+
+    The grid walks z-cell-layers sequentially; dual input BlockSpecs deliver
+    the p owned node planes plus the overlapping +1 plane (the structured
+    analog of the reference's ghost row), so the z-axis window extraction
+    and overlap-add never materialize in HBM.  The shared output plane is
+    accumulated across grid steps in a VMEM carry scratch.
+    """
+    p = um_ref.shape[1]
+    p1yx = um_ref.shape[2]
+    B = um_ref.shape[3]
+    p13 = mats_ref.shape[1]
+    q3 = g6_ref.shape[0] // 6
+    i = pl.program_id(0)
+
+    u = jnp.concatenate([um_ref[:], up_ref[:]], axis=1)  # (C, p+1, p1yx, B)
+    u = u.reshape(n_comp * p13, B)
+
+    m = mats_ref[:]
+    g6 = g6_ref[:]
+    g00, g01, g02 = g6[:q3], g6[q3:2 * q3], g6[2 * q3:3 * q3]
+    g11, g12, g22 = g6[3 * q3:4 * q3], g6[4 * q3:5 * q3], g6[5 * q3:]
+    dn_t = (((0,), (0,)), ((), ()))
+    grads = []
+    for c in range(n_comp):
+        u_c = u[c * p13:(c + 1) * p13, :]
+        grads.append(_mm(m, u_c, precision).reshape(3, q3, B))
+    vs = []
+    for g in grads:
+        t0 = g00 * g[0] + g01 * g[1] + g02 * g[2]
+        t1 = g01 * g[0] + g11 * g[1] + g12 * g[2]
+        t2 = g02 * g[0] + g12 * g[1] + g22 * g[2]
+        t_all = jnp.concatenate([t0, t1, t2], axis=0)
+        vs.append(_mm(m, t_all, precision, dims=dn_t))
+    v = jnp.stack(vs, axis=0).reshape(n_comp, p + 1, p1yx, B)
+
+    first = v[:, :1] + jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
+    out_main_ref[:] = jnp.concatenate(
+        [first, v[:, 1:p]], axis=1).astype(out_main_ref.dtype)
+    carry_ref[:] = v[:, p]
+    out_top_ref[:] = v[:, p:].astype(out_top_ref.dtype)
+
+
+def _to_zslab_form(u: jax.Array, p: int) -> jax.Array:
+    """(C, Nz, Ny, Nx) -> (C, Nz, p1^2, ncy*ncx): y/x windowed, z untouched."""
+    t = cellify_t(u, 3, p)  # (C, Nz, Ny, p1x, ncx)
+    t = cellify_t(t, 2, p)  # (C, Nz, p1y, ncy, p1x, ncx)
+    t = t.transpose(0, 1, 2, 4, 3, 5)  # (C, Nz, p1y, p1x, ncy, ncx)
+    c, nz = t.shape[0], t.shape[1]
+    p1 = p + 1
+    return t.reshape(c, nz, p1 * p1, -1)
+
+
+def _from_zslab_form(v: jax.Array, p: int, n_nodes_axis) -> jax.Array:
+    """Adjoint of :func:`_to_zslab_form` (y/x overlap-add)."""
+    nz, ny, nx = n_nodes_axis
+    p1 = p + 1
+    ncy, ncx = (ny - 1) // p, (nx - 1) // p
+    t = v.reshape(v.shape[0], nz, p1, p1, ncy, ncx)
+    t = t.transpose(0, 1, 2, 4, 3, 5)  # (C, Nz, p1y, ncy, p1x, ncx)
+    t = overlap_add_t(t, 2, p)  # (C, Nz, Ny, p1x, ncx)
+    return overlap_add_t(t, 3, p)  # (C, Nz, Ny, Nx)
+
+
+def apply_lattice_zslab(op: PallasOperatorData, u: jax.Array,
+                        interpret: bool | None = None) -> jax.Array:
+    """Matvec with in-kernel z-windowing (windowing="zslab")."""
+    import functools
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p1 = round(op.mats.shape[1] ** (1 / 3))
+    p = p1 - 1
+    n_comp, nz, ny, nx = u.shape
+    ncz = (nz - 1) // p
+    B = ((ny - 1) // p) * ((nx - 1) // p)
+    q3 = op.w3.shape[0]
+    p13 = op.mats.shape[1]
+
+    t = _to_zslab_form(u, p)  # (C, Nz, p1^2, B)
+
+    grid = (ncz,)
+    out_main, out_top = pl.pallas_call(
+        functools.partial(_kernel_g_zslab, op.precision, n_comp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * q3, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, p, p1 * p1, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, 1, p1 * p1, B),
+                         lambda i: (0, i * p + p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_comp, p, p1 * p1, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, 1, p1 * p1, B), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_comp, ncz * p, p1 * p1, B), u.dtype),
+            jax.ShapeDtypeStruct((n_comp, 1, p1 * p1, B), u.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM(
+            (n_comp, p1 * p1, B),
+            jnp.float64 if u.dtype == jnp.float64 else jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(op.mats, op.gmetric, t, t)
+
+    v = jnp.concatenate([out_main, out_top], axis=1)  # (C, Nz, p1^2, B)
+    return _from_zslab_form(v, p, (nz, ny, nx))
 
 
 def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
@@ -220,10 +526,44 @@ def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
     q3 = op.w3.shape[0]
     grid = (nc_pad // B,)
 
+    common = dict(
+        grid=grid,
+        out_specs=pl.BlockSpec((cp13, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(u_loc.shape, u_loc.dtype),
+        # raise the scoped-VMEM budget above the 16 MB soft default: XLA may
+        # additionally promote small while-loop carries into VMEM, and at
+        # p=5 (q^3=343) the combined footprint overflows otherwise
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )
+    if op.gmetric is not None:
+        import functools
+
+        flops_per_block = (6 * q3 * p13 * n_comp + 15 * q3 * n_comp) * B * 2
+        return pl.pallas_call(
+            functools.partial(_kernel_g, op.precision),
+            in_specs=[
+                pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((6 * q3, B), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cp13, B), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_block * grid[0],
+                bytes_accessed=(2 * p13 * n_comp + 6 * q3) * nc_pad * 4,
+                transcendentals=0,
+            ),
+            input_output_aliases={2: 0},
+            **common,
+        )(op.mats, op.gmetric, u_loc)
+
     flops_per_block = (6 * q3 * p13 * n_comp + 9 * q3 * 8 + 80 * q3) * B * 2
     return pl.pallas_call(
         _kernel,
-        grid=grid,
         in_specs=[
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -235,9 +575,6 @@ def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
             pl.BlockSpec((3, 8, B), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cp13, B), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(u_loc.shape, u_loc.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_block * grid[0],
             bytes_accessed=(2 * p13 * n_comp + 24) * nc_pad * 4,
@@ -247,13 +584,107 @@ def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
         # only after that component's input is consumed, so reuse is safe
         # and halves the custom call's buffer footprint
         input_output_aliases={3: 0},
-        # raise the scoped-VMEM budget above the 16 MB soft default: XLA may
-        # additionally promote small while-loop carries into VMEM, and at
-        # p=5 (q^3=343) the combined footprint overflows otherwise
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
+        **common,
     )(op.mats, op.pds, op.w3, u_loc, op.coeffs)
+
+
+def _window_matrix(n_nodes: int, p: int) -> np.ndarray:
+    """0/1 window-extraction matrix W of shape (p1*nc, N), k-major rows.
+
+    Row (k*nc + c) selects node c*p + k: ``W @ u_axis`` extracts all
+    overlapping (p+1)-node cell windows along one axis in one matmul, and
+    ``W.T @ v`` is the exact adjoint (overlap-add).  The MXU does the
+    structured-mesh gather/scatter as arithmetic — no strided slices, no
+    scatter instruction.
+    """
+    nc = (n_nodes - 1) // p
+    w = np.zeros(((p + 1) * nc, n_nodes))
+    rows = (np.arange(p + 1)[:, None] * nc + np.arange(nc)[None, :]).ravel()
+    cols = (np.arange(nc)[None, :] * p + np.arange(p + 1)[:, None]).ravel()
+    w[rows, cols] = 1.0
+    return w
+
+
+def _to_cell_batches_mm(u: jax.Array, p: int, nc_pad: int,
+                        ws: tuple[jax.Array, jax.Array, jax.Array]) -> jax.Array:
+    """(C, Nz, Ny, Nx) -> (C * p1^3, nc_pad) via three windowing matmuls."""
+    wz, wy, wx = ws
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("czyx,Xx->czyX", u, wx, precision=hi)
+    t = jnp.einsum("czyX,Yy->czYX", t, wy, precision=hi)
+    t = jnp.einsum("czYX,Zz->cZYX", t, wz, precision=hi)
+    n_comp = t.shape[0]
+    p1 = p + 1
+    ncz = t.shape[1] // p1
+    ncy = t.shape[2] // p1
+    ncx = t.shape[3] // p1
+    t = t.reshape(n_comp, p1, ncz, p1, ncy, p1, ncx)
+    t = t.transpose(0, 1, 3, 5, 2, 4, 6)
+    t = t.reshape(n_comp * p1**3, ncz * ncy * ncx)
+    nc = ncz * ncy * ncx
+    if nc_pad > nc:
+        t = jnp.pad(t, ((0, 0), (0, nc_pad - nc)))
+    return t
+
+
+def _from_cell_batches_mm(v: jax.Array, p: int, n_cells_axis,
+                          ws: tuple[jax.Array, jax.Array, jax.Array]
+                          ) -> jax.Array:
+    """Adjoint of :func:`_to_cell_batches_mm` (W^T accumulates overlaps)."""
+    wz, wy, wx = ws
+    hi = jax.lax.Precision.HIGHEST
+    ncz, ncy, ncx = n_cells_axis
+    nc = ncz * ncy * ncx
+    p1 = p + 1
+    n_comp = v.shape[0] // p1**3
+    t = v[:, :nc].reshape(n_comp, p1, p1, p1, ncz, ncy, ncx)
+    t = t.transpose(0, 1, 4, 2, 5, 3, 6)
+    t = t.reshape(n_comp, p1 * ncz, p1 * ncy, p1 * ncx)
+    t = jnp.einsum("cZYX,Zz->czYX", t, wz, precision=hi)
+    t = jnp.einsum("czYX,Yy->czyX", t, wy, precision=hi)
+    return jnp.einsum("czyX,Xx->czyx", t, wx, precision=hi)
+
+
+def _conv_dn():
+    return jax.lax.conv_dimension_numbers(
+        (1, 1, 2, 2, 2), (2, 1, 1, 1, 1), ("NCDHW", "OIDHW", "NCDHW"))
+
+
+def _to_cell_batches_conv(u: jax.Array, p: int, nc_pad: int) -> jax.Array:
+    """(C, Nz, Ny, Nx) -> (C * p1^3, nc_pad) via a strided identity conv.
+
+    Patch extraction with stride p IS a convolution with identity weights —
+    the TPU's native im2col path: XLA lowers the windowing to one fused
+    op instead of a chain of pad/slice/concat relayouts.  Output channel
+    r of the identity enumerates (kz, ky, kx) with kx fastest, matching the
+    dense gradient matrices' column order.
+    """
+    p1 = p + 1
+    n_comp = u.shape[0]
+    eye = jnp.eye(p1**3, dtype=u.dtype).reshape(p1**3, 1, p1, p1, p1)
+    t = jax.lax.conv_general_dilated(
+        u[:, None], eye, window_strides=(p, p, p), padding="VALID",
+        dimension_numbers=_conv_dn(), precision=jax.lax.Precision.HIGHEST)
+    t = t.reshape(n_comp * p1**3, -1)
+    nc = t.shape[1]
+    if nc_pad > nc:
+        t = jnp.pad(t, ((0, 0), (0, nc_pad - nc)))
+    return t
+
+
+def _from_cell_batches_conv(v: jax.Array, p: int, n_cells_axis) -> jax.Array:
+    """Adjoint of :func:`_to_cell_batches_conv`: transposed conv scatter-add."""
+    ncz, ncy, ncx = n_cells_axis
+    nc = ncz * ncy * ncx
+    p1 = p + 1
+    n_comp = v.shape[0] // p1**3
+    t = v[:, :nc].reshape(n_comp, p1**3, ncz, ncy, ncx)
+    eye = jnp.eye(p1**3, dtype=v.dtype).reshape(p1**3, 1, p1, p1, p1)
+    out = jax.lax.conv_transpose(
+        t, eye, strides=(p, p, p), padding="VALID",
+        dimension_numbers=_conv_dn(), transpose_kernel=True,
+        precision=jax.lax.Precision.HIGHEST)
+    return out[:, 0]
 
 
 def _to_cell_batches(u: jax.Array, p: int, nc_pad: int) -> jax.Array:
@@ -299,6 +730,16 @@ def apply_lattice(op: PallasOperatorData, u: jax.Array,
     ncz = (u.shape[1] - 1) // p
     ncy = (u.shape[2] - 1) // p
     ncx = (u.shape[3] - 1) // p
+    if op.windowing == "zslab":
+        return apply_lattice_zslab(op, u, interpret=interpret)
+    if op.windowing == "matmul":
+        u_loc = _to_cell_batches_mm(u, p, nc_pad, op.wmats)
+        v_loc = apply_local_batched(op, u_loc, interpret=interpret)
+        return _from_cell_batches_mm(v_loc, p, (ncz, ncy, ncx), op.wmats)
+    if op.windowing == "conv":
+        u_loc = _to_cell_batches_conv(u, p, nc_pad)
+        v_loc = apply_local_batched(op, u_loc, interpret=interpret)
+        return _from_cell_batches_conv(v_loc, p, (ncz, ncy, ncx))
     u_loc = _to_cell_batches(u, p, nc_pad)
     v_loc = apply_local_batched(op, u_loc, interpret=interpret)
     return _from_cell_batches(v_loc, p, (ncz, ncy, ncx))

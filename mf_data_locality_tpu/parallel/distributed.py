@@ -59,16 +59,22 @@ class DistributedBP4:
     b: jax.Array  # (D, C, P+1, Ny, Nx)
     weight: jax.Array  # (D, 1, P+1, 1, 1): 1 on owned planes, 0 on ghosts
     n_dofs: int = field(metadata=dict(static=True), default=0)
+    n_cells: int = field(metadata=dict(static=True), default=0)
     n_devices: int = field(metadata=dict(static=True), default=1)
     backend: str = field(metadata=dict(static=True), default="pallas")
 
 
 def _cells_per_slab(layout: DofLayout, n_dev: int) -> int:
-    """z-cells owned by each device (slabs must tile the mesh exactly)."""
+    """z-cell layers per device slab: ceil(ncz / n_dev).
+
+    Arbitrary device counts are supported (the reference runs any MPI rank
+    count via p4est partitioning, ``benchmark.h:79``): when ncz does not
+    divide evenly, trailing slabs carry dummy z-layers — unit-geometry cells
+    (``poisson_operator.h:269-280``), zero Dirichlet-style masks and zero
+    dot weights — so every device holds identically-shaped arrays.
+    """
     ncz, ncy, ncx = layout.mesh.n_cells_axis
-    if ncz % n_dev:
-        raise ValueError(f"ncz={ncz} not divisible by n_devices={n_dev}")
-    return ncz // n_dev
+    return -(-ncz // n_dev)
 
 
 def build_distributed(s: int, degree: int, n_devices: int | None = None,
@@ -107,11 +113,28 @@ def build_distributed(s: int, degree: int, n_devices: int | None = None,
     mask_lat = (~layout.boundary_node_mask).reshape(1, nz, ny, nx)
 
     def slab(arr):
-        """(C, Nz, Ny, Nx) -> (D, C, P+1, Ny, Nx) with shared-plane replication."""
-        return np.stack([arr[:, d * Pp:d * Pp + Pp + 1] for d in range(D)])
+        """(C, Nz, Ny, Nx) -> (D, C, P+1, Ny, Nx), shared-plane replication.
+
+        Slabs past the global top (non-divisible device counts) are padded
+        with zero planes — dummy layers with zero mask/weight.
+        """
+        out = []
+        for d in range(D):
+            sl = arr[:, d * Pp:d * Pp + Pp + 1]
+            short = Pp + 1 - sl.shape[1]
+            if short:
+                pad = np.zeros(sl.shape[:1] + (short,) + sl.shape[2:],
+                               sl.dtype)
+                sl = np.concatenate([sl, pad], axis=1)
+            out.append(sl)
+        return np.stack(out)
 
     weight = np.ones((D, 1, Pp + 1, 1, 1))
     weight[1:, :, 0] = 0.0  # bottom plane of d>0 is owned by the device below
+    for d in range(D):  # planes past the global top are dummies
+        for j in range(Pp + 1):
+            if d * Pp + j >= nz:
+                weight[d, :, j] = 0.0
 
     # per-device operator data: slab coefficient/mask arrays + shared matrices
     ops = []
@@ -140,14 +163,53 @@ def build_distributed(s: int, degree: int, n_devices: int | None = None,
         b=jax.device_put(jnp.asarray(slab(b_lat), dtype=dtype), sharding),
         weight=jax.device_put(jnp.asarray(weight, dtype=dtype), sharding),
         n_dofs=layout.n_nodes * n_components,
+        n_cells=layout.mesh.n_cells,
         n_devices=D,
         backend=backend,
     )
     return dist, mesh
 
 
+def dist_matvec_jit(dist: DistributedBP4, mesh: Mesh,
+                    constrained_identity: bool = True,
+                    overlap: bool = False):
+    """Jitted distributed matvec ``u -> A u`` on sharded slab vectors.
+
+    Used by the benchmark harness to time the distributed operator with the
+    same 50-matvec protocol as the single-device path (``benchmark.h:
+    204-215``).
+    """
+    n_dev = dist.n_devices
+    backend = dist.backend
+
+    def body(op_stack, u):
+        op_local = _index0(op_stack)
+        return dist_vmult(op_local, u[0], n_dev=n_dev, backend=backend,
+                          constrained_identity=constrained_identity,
+                          overlap=overlap)[None]
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                       out_specs=P(AXIS), check_vma=False)
+    return jax.jit(fn)
+
+
+def _slab_mask(mask_lat: np.ndarray, d: int, Pp: int) -> np.ndarray:
+    """Padded mask slice for slab d: planes past the global top are 0."""
+    sl = mask_lat[:, d * Pp:d * Pp + Pp + 1]
+    short = Pp + 1 - sl.shape[1]
+    if short:
+        pad = np.zeros(sl.shape[:1] + (short,) + sl.shape[2:], sl.dtype)
+        sl = np.concatenate([sl, pad], axis=1)
+    return sl
+
+
 def _slab_cell_coeffs(layout: DofLayout, d: int, ncz_loc: int, dtype):
-    """Global trilinear coefficients for slab d, kernel layout (3, 8, nc_loc)."""
+    """Global trilinear coefficients for slab d, kernel layout (3, 8, nc_loc).
+
+    May return fewer than ncz_loc * ncy * ncx cells for the trailing slabs
+    of a non-divisible device count — the callers pad the remainder with
+    unit-geometry dummy cells.
+    """
     from mf_data_locality_tpu.ops.geometry import trilinear_coefficients
 
     ncz, ncy, ncx = layout.mesh.n_cells_axis
@@ -163,8 +225,19 @@ def replace_coeffs_pallas(op, co, mask_lat, d, Pp, dtype):
     full = np.zeros((3, 8, nc_pad))
     full[:, :, :nc] = co
     full[0, 1, nc:] = full[1, 2, nc:] = full[2, 4, nc:] = 1.0
-    mask = mask_lat[:, d * Pp:d * Pp + Pp + 1]
+    mask = _slab_mask(mask_lat, d, Pp)
+    gmetric = op.gmetric
+    if gmetric is not None:
+        # the precomputed metric must match the installed slab geometry
+        p1 = round(op.mats.shape[1] ** (1 / 3))
+        q = round(op.w3.shape[0] ** (1 / 3))
+        w3 = np.asarray(op.w3, np.float64)
+        gm = np.concatenate(
+            [laplace_pallas.metric_for_coeffs(co, p1 - 1, q),
+             laplace_pallas.dummy_metric_columns(w3, nc_pad - nc)], axis=1)
+        gmetric = jnp.asarray(gm, dtype=dtype)
     return replace(op, coeffs=jnp.asarray(full, dtype=dtype),
+                   gmetric=gmetric,
                    mask=jnp.asarray(mask, dtype=dtype))
 
 
@@ -174,8 +247,13 @@ def replace_coeffs_structured(op, layout, d, ncz_loc, mask_lat, Pp, dtype):
     ncz, ncy, ncx = layout.mesh.n_cells_axis
     co = trilinear_coefficients(layout.mesh.cell_vertices)
     co = co.reshape(ncz, ncy, ncx, 8, 3)[d * ncz_loc:(d + 1) * ncz_loc]
+    short = ncz_loc - co.shape[0]
+    if short:  # trailing slab: unit-geometry dummy z-layers
+        pad = np.zeros((short, ncy, ncx, 8, 3))
+        pad[..., 1, 0] = pad[..., 2, 1] = pad[..., 4, 2] = 1.0
+        co = np.concatenate([co, pad], axis=0)
     co = co.reshape(ncz_loc, 1, ncy, 1, ncx, 1, 8, 3)
-    mask = mask_lat[:, d * Pp:d * Pp + Pp + 1]
+    mask = _slab_mask(mask_lat, d, Pp)
     return op._replace(coeffs=jnp.asarray(co, dtype=dtype),
                        mask=jnp.asarray(mask, dtype=dtype))
 
@@ -224,6 +302,9 @@ def _sub_op(op_local, c0: int, c1: int, backend: str):
         ny, nx = op_local.mask.shape[2], op_local.mask.shape[3]
         ncyx = ((ny - 1) // p) * ((nx - 1) // p)
         co = op_local.coeffs[:, :, c0 * ncyx:c1 * ncyx]
+        gm = op_local.gmetric
+        if gm is not None:
+            gm = gm[:, c0 * ncyx:c1 * ncyx]
         nc_sub = (c1 - c0) * ncyx
         B = op_local.block
         nc_pad = -(-nc_sub // B) * B
@@ -232,7 +313,11 @@ def _sub_op(op_local, c0: int, c1: int, backend: str):
             padco = jnp.zeros((3, 8, nc_pad - nc_sub), co.dtype)
             padco = padco.at[0, 1].set(1.0).at[1, 2].set(1.0).at[2, 4].set(1.0)
             co = jnp.concatenate([co, padco], axis=2)
-        return drep(op_local, coeffs=co)
+            if gm is not None:
+                padg = lp.dummy_metric_columns(
+                    op_local.w3.astype(gm.dtype), nc_pad - nc_sub, xp=jnp)
+                gm = jnp.concatenate([gm, padg], axis=1)
+        return drep(op_local, coeffs=co, gmetric=gm)
     return op_local._replace(coeffs=op_local.coeffs[c0:c1])
 
 
@@ -338,9 +423,14 @@ def solve(dist: DistributedBP4, mesh: Mesh, solver: str = "merged",
     return cg.SolveResult(x, it, res_norm, hist, conv)
 
 
-def gather_global(x_dist: jax.Array) -> np.ndarray:
-    """(D, C, P+1, Ny, Nx) distributed vector -> global (C, Nz, Ny, Nx)."""
+def gather_global(x_dist: jax.Array, nz: int | None = None) -> np.ndarray:
+    """(D, C, P+1, Ny, Nx) distributed vector -> global (C, Nz, Ny, Nx).
+
+    ``nz`` trims trailing dummy planes when the device count does not divide
+    the z-cell count; omit it for exactly-tiling partitions.
+    """
     x = np.asarray(x_dist)
     D = x.shape[0]
     parts = [x[0]] + [x[d][:, 1:] for d in range(1, D)]
-    return np.concatenate(parts, axis=1)
+    full = np.concatenate(parts, axis=1)
+    return full if nz is None else full[:, :nz]

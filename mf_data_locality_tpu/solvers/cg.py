@@ -63,23 +63,29 @@ def cg_solve(
     reduction per dot product — 3 per iteration vs the merged solver's 1.
     """
     dtype = b.dtype
+    # never accumulate dots or the x/r recurrence in bf16 (see cg_merged);
+    # only the operator stream p -> Ap stays at the storage dtype
+    acc = jnp.float32 if dtype == jnp.bfloat16 else dtype
     if reduce_scalar is None:
         reduce_scalar = lambda s: s  # noqa: E731
 
     def wdot(a, c):
+        a = a.astype(acc)
+        c = c.astype(acc)
         local = jnp.vdot(a, c) if dot_weight is None else jnp.sum(a * c * dot_weight)
-        return reduce_scalar(local.real.astype(dtype))
+        return reduce_scalar(local.real.astype(acc))
 
-    x = jnp.zeros_like(b) if x0 is None else x0
+    x = jnp.zeros_like(b, dtype=acc) if x0 is None else x0.astype(acc)
 
-    r = b - a_apply(x) if x0 is not None else b
+    r = (b.astype(acc) - a_apply(x.astype(dtype)).astype(acc)
+         if x0 is not None else b.astype(acc))
     res0 = jnp.sqrt(wdot(r, r))
-    tol = jnp.maximum(jnp.asarray(abs_tol, dtype), rel_tol * res0)
+    tol = jnp.maximum(jnp.asarray(abs_tol, acc), rel_tol * res0)
 
-    z = _prec_apply(prec, r)
-    p = z
+    z = _prec_apply(prec.astype(acc), r)
+    p = z.astype(dtype)
     rz = wdot(r, z)
-    history = jnp.full((max_iter + 1,), jnp.nan, dtype=dtype).at[0].set(res0)
+    history = jnp.full((max_iter + 1,), jnp.nan, dtype=acc).at[0].set(res0)
 
     def cond(state):
         _, _, _, _, res, it, _ = state
@@ -87,15 +93,15 @@ def cg_solve(
 
     def body(state):
         x, r, p, rz, _, it, hist = state
-        ap = a_apply(p)
+        ap = a_apply(p).astype(dtype)
         alpha = rz / wdot(p, ap)
-        x = x + alpha * p
-        r = r - alpha * ap
+        x = x + alpha * p.astype(acc)
+        r = r - alpha * ap.astype(acc)
         res = jnp.sqrt(wdot(r, r))
-        z = _prec_apply(prec, r)
+        z = _prec_apply(prec.astype(acc), r)
         rz_new = wdot(r, z)
         beta = rz_new / rz
-        p = z + beta * p
+        p = (z + beta * p.astype(acc)).astype(dtype)
         it = it + 1
         return x, r, p, rz_new, res, it, hist.at[it].set(res)
 

@@ -102,6 +102,77 @@ def test_overlapped_halo_exchange_matches():
 
 
 @requires_8
+@pytest.mark.parametrize("n_dev", [2, 3, 4, 6])
+def test_distributed_pallas_matches_single(n_dev):
+    """Pallas-backend N-dev == 1-dev parity (interpret mode on CPU), incl.
+    non-divisible device counts: ncz=4 with n_dev=3 exercises a partially
+    dummy-padded trailing slab, n_dev=6 fully dummy slabs."""
+    s, p = 6, 2
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="pallas")
+    r1 = bp4.solve_merged(ref)
+
+    dp, mesh = dist.build_distributed(s, p, n_devices=n_dev,
+                                      dtype=jnp.float64, backend="pallas")
+    rd = dist.solve(dp, mesh, solver="merged")
+
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    nz = (4 * p) + 1
+    xg = dist.gather_global(rd.x, nz=nz).reshape(3, -1)
+    x1 = np.asarray(r1.x).reshape(3, -1)
+    assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+
+@requires_8
+def test_distributed_pallas_matvec_matches_single():
+    """Slab-geometry surgery on the pallas path (replace_coeffs_pallas /
+    precomputed metric): one distributed vmult == single-device vmult."""
+    from jax.sharding import PartitionSpec as P
+
+    s, p, D = 6, 3, 4
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="pallas")
+    lat = (3,) + ref.layout.n_nodes_axis
+    v1 = np.asarray(ref.a_apply_full(ref.b)).reshape(lat)
+
+    dp, mesh = dist.build_distributed(s, p, n_devices=D,
+                                      dtype=jnp.float64, backend="pallas")
+    mv = dist.dist_matvec_jit(dp, mesh)
+    vd = dist.gather_global(mv(dp.op_stack, dp.b))
+    assert np.abs(vd - v1).max() < 1e-12 * np.abs(v1).max()
+
+
+@requires_8
+def test_distributed_pallas_overlap_matches():
+    """Overlapped sub-operator slicing (gmetric included) on the pallas path."""
+    s, p, D = 9, 1, 2  # ncz = 8 -> 4 cell layers per device
+    dp, mesh = dist.build_distributed(s, p, n_devices=D, dtype=jnp.float64,
+                                      backend="pallas")
+    r_plain = dist.solve(dp, mesh, solver="merged", max_iter=15)
+    r_over = dist.solve(dp, mesh, solver="merged", max_iter=15, overlap=True)
+    assert int(r_plain.n_iterations) == int(r_over.n_iterations)
+    xp_ = np.asarray(r_plain.x)
+    xo = np.asarray(r_over.x)
+    assert np.abs(xp_ - xo).max() < 1e-12 * max(np.abs(xp_).max(), 1.0)
+
+
+@requires_8
+@pytest.mark.parametrize("n_dev", [3, 5, 6, 7])
+def test_distributed_arbitrary_device_count_structured(n_dev):
+    """ncz=8 over 3/5/6/7 devices: dummy-padded slabs preserve exactness."""
+    s, p = 9, 2
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="structured")
+    r1 = bp4.solve_merged(ref, max_iter=25)
+
+    dp, mesh = dist.build_distributed(s, p, n_devices=n_dev,
+                                      dtype=jnp.float64, backend="structured")
+    rd = dist.solve(dp, mesh, solver="merged", max_iter=25)
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    nz = (8 * p) + 1
+    xg = dist.gather_global(rd.x, nz=nz).reshape(3, -1)
+    x1 = np.asarray(r1.x).reshape(3, -1)
+    assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+
+@requires_8
 def test_overlap_fallback_small_slabs():
     """ncz_loc < 3 falls back to the plain path without error."""
     dp, mesh = dist.build_distributed(9, 2, n_devices=8, dtype=jnp.float64,

@@ -1,0 +1,147 @@
+"""Round-2 kernel/solver variants: precomputed metric, windowing modes,
+matmul precision strategies, bf16 vector storage, x0 starts, f32-vs-f64
+iteration parity.
+
+Capability slots: precomputed metric replaces the reference's on-the-fly
+geometry trade (``poisson_operator.h:151-179``) where the TPU balance flips;
+precision "split3" is the explicit bf16 hi/lo 3-product decomposition;
+bf16 storage generalizes ``vector_access_reduced.h`` (float storage /
+double compute) to bf16 storage / f32 compute.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mf_data_locality_tpu.mesh.box import BoxMesh
+from mf_data_locality_tpu.mesh.dofs import DofLayout
+from mf_data_locality_tpu.models import bp4
+from mf_data_locality_tpu.ops import laplace_pallas as lp
+from mf_data_locality_tpu.solvers import cg, cg_merged
+
+
+def _rand_u(layout, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((3,) + layout.n_nodes_axis), dtype)
+
+
+@pytest.mark.parametrize("s,p", [(2, 2), (4, 3)])
+def test_metric_precomputed_matches_onthefly(s, p):
+    layout = DofLayout(BoxMesh.from_s(s), p)
+    u = _rand_u(layout)
+    v_otf = lp.vmult(lp.make_pallas_operator(layout, dtype=jnp.float64,
+                                             metric="onthefly"), u)
+    v_pre = lp.vmult(lp.make_pallas_operator(layout, dtype=jnp.float64,
+                                             metric="precomputed"), u)
+    scale = float(jnp.max(jnp.abs(v_otf)))
+    assert float(jnp.max(jnp.abs(v_otf - v_pre))) < 1e-13 * scale
+
+
+@pytest.mark.parametrize("windowing", ["matmul", "conv", "zslab"])
+@pytest.mark.parametrize("s,p", [(3, 2), (4, 3)])
+def test_windowing_modes_match_reshape(windowing, s, p):
+    layout = DofLayout(BoxMesh.from_s(s), p)
+    u = _rand_u(layout)
+    v_ref = lp.vmult(lp.make_pallas_operator(layout, dtype=jnp.float64), u)
+    v = lp.vmult(lp.make_pallas_operator(layout, dtype=jnp.float64,
+                                         windowing=windowing), u)
+    scale = float(jnp.max(jnp.abs(v_ref)))
+    assert float(jnp.max(jnp.abs(v_ref - v))) < 1e-13 * scale
+
+
+def test_windowing_conv_irregular_mesh():
+    layout = DofLayout(BoxMesh(n_cells_axis=(3, 2, 2), spacing=0.25), 2)
+    u = _rand_u(layout)
+    v_ref = lp.vmult(lp.make_pallas_operator(layout, dtype=jnp.float64), u)
+    v = lp.vmult(lp.make_pallas_operator(layout, dtype=jnp.float64,
+                                         windowing="conv"), u)
+    assert float(jnp.max(jnp.abs(v_ref - v))) < 1e-13
+
+
+def test_precision_split3_is_f32_class():
+    """split3 (3 bf16 products) must stay within ~10x of f32 dot roundoff."""
+    layout = DofLayout(BoxMesh.from_s(4), 3)
+    u = _rand_u(layout, dtype=jnp.float32)
+    v_hi = lp.vmult(lp.make_pallas_operator(layout, dtype=jnp.float32), u)
+    v_s3 = lp.vmult(lp.make_pallas_operator(layout, dtype=jnp.float32,
+                                            precision="split3"), u)
+    rel = float(jnp.max(jnp.abs(v_hi - v_s3)) / jnp.max(jnp.abs(v_hi)))
+    assert rel < 2e-5, rel
+
+
+def test_precision_bf16_is_bf16_class():
+    layout = DofLayout(BoxMesh.from_s(4), 3)
+    u = _rand_u(layout, dtype=jnp.float32)
+    v_hi = lp.vmult(lp.make_pallas_operator(layout, dtype=jnp.float32), u)
+    v_bf = lp.vmult(lp.make_pallas_operator(layout, dtype=jnp.float32,
+                                            precision="bf16"), u)
+    rel = float(jnp.max(jnp.abs(v_hi - v_bf)) / jnp.max(jnp.abs(v_hi)))
+    assert 1e-5 < rel < 3e-2, rel
+
+
+def test_bf16_storage_iteration_parity():
+    """bf16 d/h storage: converges with itCG within a few of f32
+    (VERDICT round-1 item 5 done-criterion)."""
+    pf = bp4.build(s=6, degree=2, dtype=jnp.float32, backend="pallas")
+    rf = bp4.solve_merged(pf, rel_tol=1e-8)
+    pb = bp4.build(s=6, degree=2, dtype=jnp.bfloat16, backend="pallas")
+    rb = bp4.solve_merged(pb, rel_tol=1e-8)
+    assert bool(rf.converged) and bool(rb.converged)
+    assert abs(int(rb.n_iterations) - int(rf.n_iterations)) <= 5
+    # solution accuracy is bounded by the bf16 operator stream (~4e-3)
+    xg = np.asarray(rf.x, np.float64)
+    xb = np.asarray(rb.x, np.float64)
+    assert np.max(np.abs(xg - xb)) / np.max(np.abs(xg)) < 3e-2
+
+
+def test_merged_cg_x0_start():
+    """Nonzero x0: g0 = A x0 - b (solver_cg_optimized.h:221-228)."""
+    prob = bp4.build(s=4, degree=2, dtype=jnp.float64, backend="structured")
+    r_ref = bp4.solve_merged(prob, rel_tol=1e-10)
+    rng = np.random.default_rng(3)
+    # constraint-consistent start: zero on Dirichlet DoFs (the reference
+    # passes vectors with constraints already applied, benchmark.h:170-176)
+    free = ~prob.layout.boundary_node_mask
+    x0 = jnp.asarray(rng.standard_normal(prob.b.shape) * 0.1 * free[None, :])
+    r_x0 = cg_merged.merged_cg_solve(prob.a_apply, prob.b, prob.inv_diag,
+                                     x0=x0, rel_tol=1e-10)
+    assert bool(r_x0.converged)
+    # same linear system -> same solution to solver tolerance
+    err = float(jnp.max(jnp.abs(r_x0.x - r_ref.x)))
+    scale = float(jnp.max(jnp.abs(r_ref.x)))
+    assert err < 1e-7 * scale
+    # warm start from the exact solution: the initial residual must reflect
+    # g = A x0 - b ~ 0 (tolerance stays RELATIVE to it, ReductionControl
+    # semantics, so the iteration count need not be small)
+    r_warm = cg_merged.merged_cg_solve(prob.a_apply, prob.b, prob.inv_diag,
+                                       x0=r_ref.x, rel_tol=1e-8)
+    res0_cold = float(r_ref.res_history[0])
+    res0_warm = float(r_warm.res_history[0])
+    assert res0_warm < 1e-8 * res0_cold
+
+
+def test_baseline_cg_x0_matches_merged_x0():
+    prob = bp4.build(s=4, degree=2, dtype=jnp.float64, backend="structured")
+    rng = np.random.default_rng(4)
+    free = ~prob.layout.boundary_node_mask
+    x0 = jnp.asarray(rng.standard_normal(prob.b.shape) * 0.1 * free[None, :])
+    r_b = cg.cg_solve(prob.a_apply_full, prob.b, prob.inv_diag, x0=x0,
+                      rel_tol=1e-10)
+    r_m = cg_merged.merged_cg_solve(prob.a_apply, prob.b, prob.inv_diag,
+                                    x0=x0, rel_tol=1e-10)
+    assert bool(r_b.converged) and bool(r_m.converged)
+    assert int(r_b.n_iterations) == int(r_m.n_iterations)
+
+
+def test_f32_iteration_parity_vs_f64():
+    """f32 iteration counts track f64 at a convergent size (VERDICT
+    round-1 weak item 2 — previously only a PARITY.md note)."""
+    for p, s in [(2, 6), (3, 5)]:
+        r64 = bp4.solve_merged(bp4.build(s=s, degree=p, dtype=jnp.float64,
+                                         backend="pallas"), rel_tol=1e-8)
+        r32 = bp4.solve_merged(bp4.build(s=s, degree=p, dtype=jnp.float32,
+                                         backend="pallas"), rel_tol=1e-8)
+        assert bool(r64.converged) and bool(r32.converged)
+        it64, it32 = int(r64.n_iterations), int(r32.n_iterations)
+        assert abs(it64 - it32) <= max(1, round(0.03 * it64)), (it64, it32)

@@ -90,3 +90,56 @@ def test_renumbered_operator_is_equivalent():
     v2 = np.asarray(laplace.vmult(op2, jnp.asarray(u2)))
     v2_back = v2[:, perm]  # new->old: v_old[i] = v_new[perm[i]]
     assert np.abs(v2_back - v1).max() < 1e-12
+
+
+def test_cellbatch_renumber_variants():
+    """cellbatch_assembly / touch_count_cellbatch variants
+    (renumber_dofs_for_mf.h:363-459, 592-671): batched sweep positions and
+    batch-granular touch counts."""
+    layout = DofLayout(BoxMesh.from_s(4), 2)
+    gm = layout.gather_map
+    n = layout.n_nodes
+
+    perm_b, ni_b = renumber.locality_permutation(gm, n, batch_cells=4)
+    assert sorted(perm_b) == list(range(n))
+    # same interior count as the per-cell variant (interior = touch once)
+    perm_c, ni_c = renumber.locality_permutation(gm, n)
+    assert ni_b == ni_c
+    # batching coarsens the order: nodes first touched by the same batch
+    # keep their relative old order (stable tie-break)
+    first_batch = np.full(n, 10**9, dtype=np.int64)
+    npc = gm.shape[-1]
+    pos = np.arange(gm.size) // (npc * 4)
+    np.minimum.at(first_batch, gm.reshape(-1), pos)
+    interior = np.bincount(gm.reshape(-1), minlength=n) == 1
+    ids = np.where(interior & (first_batch == first_batch[interior.argmax()]))[0]
+    if len(ids) > 1:
+        assert (np.diff(perm_b[ids]) > 0).all()
+
+    # batch-granular touch counts: every node becomes "touched once" when
+    # one batch covers the whole mesh
+    whole = gm.shape[0]
+    perm_w, _ = renumber.locality_permutation(
+        gm, n, grouping="touch_count_cellbatch", batch_cells=whole)
+    assert sorted(perm_w) == list(range(n))
+    pairs = np.unique(gm.reshape(-1).astype(np.int64))
+    assert pairs.size == n  # all nodes in one batch -> one batch-touch each
+
+
+def test_cellbatch_touch_count_grouping_partial():
+    """With 2-cell batches, nodes shared only inside a batch group as
+    touched-once while cross-batch shared nodes do not."""
+    layout = DofLayout(BoxMesh.from_s(2), 1)  # 4 cells in a row-ish layout
+    gm = layout.gather_map
+    n = layout.n_nodes
+    perm, n_int = renumber.locality_permutation_np(
+        gm, n, grouping="touch_count_cellbatch", batch_cells=2)
+    assert sorted(perm) == list(range(n))
+    npc = gm.shape[-1]
+    batch_of_slot = np.arange(gm.size) // (npc * 2)
+    nb = int(batch_of_slot[-1]) + 1
+    pairs = np.unique(gm.reshape(-1).astype(np.int64) * nb + batch_of_slot)
+    touch_b = np.bincount(pairs // nb, minlength=n)
+    # class-0 block = nodes with a single batch-touch; they come first
+    cls0 = touch_b <= 1
+    assert perm[cls0].max() == cls0.sum() - 1
