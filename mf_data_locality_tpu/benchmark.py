@@ -196,7 +196,7 @@ def main(argv: list[str] | None = None) -> None:
                     default="highest",
                     help="pallas kernel matmul precision strategy")
     ap.add_argument("--windowing",
-                    choices=["reshape", "matmul", "conv", "zslab"],
+                    choices=["reshape", "matmul", "conv", "zslab", "pieces"],
                     default="reshape",
                     help="pallas lattice<->cell-batch windowing strategy")
     ap.add_argument("--overlap", action="store_true",

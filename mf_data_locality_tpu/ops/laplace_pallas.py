@@ -99,6 +99,7 @@ class PallasOperatorData:
     mask: jax.Array  # (1, Nz, Ny, Nx)
     gmetric: jax.Array | None = None  # (6*q^3, nc_pad) precomputed metric
     wmats: tuple | None = None  # (Wz, Wy, Wx) windowing matrices
+    mask_w: jax.Array | None = None  # (1, Nz, p1^2, ncyx) windowed mask (zslab)
     block: int = field(metadata=dict(static=True), default=128)
     n_cells: int = field(metadata=dict(static=True), default=0)
     precision: str = field(metadata=dict(static=True), default="highest")
@@ -222,6 +223,7 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
     nz, ny, nx = layout.n_nodes_axis
     mask = (~layout.boundary_node_mask).reshape(1, nz, ny, nx)
     wmats = None
+    mask_w = None
     if windowing == "matmul":
         wmats = tuple(jnp.asarray(_window_matrix(n, p), dtype=vec_dtype)
                       for n in (nz, ny, nx))
@@ -235,6 +237,17 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         gmetric = gmetric[:, :nc]
         co = co[:, :, :nc]
         nc_pad = nc
+        mask_w = _to_zslab_form(
+            jnp.asarray(mask.astype(np.float64), vec_dtype), p)
+    elif windowing == "pieces":
+        if gmetric is None:
+            raise ValueError("windowing='pieces' requires metric='precomputed'")
+        ncz_, ncy_, ncx_ = layout.mesh.n_cells_axis
+        B = ncy_ * ncx_
+        gmetric = gmetric[:, :nc]
+        co = co[:, :, :nc]
+        nc_pad = nc
+        mats = mats[:, _piece_perm(p)]
     elif windowing not in ("reshape", "conv"):
         raise ValueError(f"unknown windowing mode {windowing!r}")
     return PallasOperatorData(
@@ -245,6 +258,7 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         mask=jnp.asarray(mask, dtype=vec_dtype),
         gmetric=gmetric,
         wmats=wmats,
+        mask_w=mask_w,
         block=B,
         n_cells=nc,
         precision=precision,
@@ -390,14 +404,16 @@ def _kernel(mats_ref, pds_ref, w3_ref, u_ref, co_ref, out_ref):
 
 
 def _kernel_g_zslab(precision, n_comp, mats_ref, g6_ref, um_ref, up_ref,
-                    out_main_ref, out_top_ref, carry_ref):
+                    mm_ref, mp_ref, out_main_ref, out_top_ref, carry_ref):
     """One z-cell-layer with in-kernel z-windowing and carry-plane scatter.
 
     The grid walks z-cell-layers sequentially; dual input BlockSpecs deliver
     the p owned node planes plus the overlapping +1 plane (the structured
     analog of the reference's ghost row), so the z-axis window extraction
     and overlap-add never materialize in HBM.  The shared output plane is
-    accumulated across grid steps in a VMEM carry scratch.
+    accumulated across grid steps in a VMEM carry scratch.  The Dirichlet
+    mask is applied in-kernel on both sides (two full lattice sweeps saved
+    per apply).
     """
     p = um_ref.shape[1]
     p1yx = um_ref.shape[2]
@@ -406,7 +422,8 @@ def _kernel_g_zslab(precision, n_comp, mats_ref, g6_ref, um_ref, up_ref,
     q3 = g6_ref.shape[0] // 6
     i = pl.program_id(0)
 
-    u = jnp.concatenate([um_ref[:], up_ref[:]], axis=1)  # (C, p+1, p1yx, B)
+    mask = jnp.concatenate([mm_ref[:], mp_ref[:]], axis=1)  # (1, p+1, ., B)
+    u = jnp.concatenate([um_ref[:], up_ref[:]], axis=1) * mask
     u = u.reshape(n_comp * p13, B)
 
     m = mats_ref[:]
@@ -425,7 +442,7 @@ def _kernel_g_zslab(precision, n_comp, mats_ref, g6_ref, um_ref, up_ref,
         t2 = g02 * g[0] + g12 * g[1] + g22 * g[2]
         t_all = jnp.concatenate([t0, t1, t2], axis=0)
         vs.append(_mm(m, t_all, precision, dims=dn_t))
-    v = jnp.stack(vs, axis=0).reshape(n_comp, p + 1, p1yx, B)
+    v = jnp.stack(vs, axis=0).reshape(n_comp, p + 1, p1yx, B) * mask
 
     first = v[:, :1] + jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
     out_main_ref[:] = jnp.concatenate(
@@ -486,6 +503,10 @@ def apply_lattice_zslab(op: PallasOperatorData, u: jax.Array,
             pl.BlockSpec((n_comp, 1, p1 * p1, B),
                          lambda i: (0, i * p + p, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, p1 * p1, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p1 * p1, B), lambda i: (0, i * p + p, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((n_comp, p, p1 * p1, B), lambda i: (0, i, 0, 0),
@@ -503,10 +524,212 @@ def apply_lattice_zslab(op: PallasOperatorData, u: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(op.mats, op.gmetric, t, t)
+    )(op.mats, op.gmetric, t, t, op.mask_w, op.mask_w)
 
     v = jnp.concatenate([out_main, out_top], axis=1)  # (C, Nz, p1^2, B)
     return _from_zslab_form(v, p, (nz, ny, nx))
+
+
+def _piece_perm(p: int) -> np.ndarray:
+    """Column permutation of the dense matrices for piece-ordered rows.
+
+    Piece order per kz-plane: (ky<p, kx<p) lex, then (ky<p, kx=p), then
+    (ky=p, kx<p), then (ky=p, kx=p) — matching the four corner pieces the
+    wrapper emits, so the kernel can assemble u_loc by cheap row concat
+    instead of interleaving.
+    """
+    p1 = p + 1
+    idx = []
+    for kz in range(p1):
+        base = kz * p1 * p1
+        idx += [base + ky * p1 + kx for ky in range(p) for kx in range(p)]
+        idx += [base + ky * p1 + p for ky in range(p)]
+        idx += [base + p * p1 + kx for kx in range(p)]
+        idx.append(base + p * p1 + p)
+    return np.asarray(idx)
+
+
+def _to_piece_forms(u: jax.Array, p: int):
+    """(C, Nz, Ny, Nx) -> four y/x corner pieces (z untouched).
+
+    mm: (ky<p, kx<p) rows; mp: kx = p; pm: ky = p; pp: both.  Each piece is
+    one fused slice+transpose — no concats (those happen in VMEM inside the
+    kernel), which is the point: the reshape-chain wrapper's three HBM-level
+    concats were the single largest matvec cost at p=4.
+    """
+    c, nz, ny, nx = u.shape
+    ncy, ncx = (ny - 1) // p, (nx - 1) // p
+    yx = ncy * ncx
+    mm = u[:, :, :ncy * p, :ncx * p].reshape(c, nz, ncy, p, ncx, p)
+    mm = mm.transpose(0, 1, 3, 5, 2, 4).reshape(c, nz, p * p, yx)
+    mp = u[:, :, :ncy * p, p::p].reshape(c, nz, ncy, p, ncx)
+    mp = mp.transpose(0, 1, 3, 2, 4).reshape(c, nz, p, yx)
+    pm = u[:, :, p::p, :ncx * p].reshape(c, nz, ncy, ncx, p)
+    pm = pm.transpose(0, 1, 4, 2, 3).reshape(c, nz, p, yx)
+    pp = u[:, :, p::p, p::p].reshape(c, nz, 1, yx)
+    return mm, mp, pm, pp
+
+
+def _from_piece_forms(vm, vtop, p: int, n_nodes_axis) -> jax.Array:
+    """Adjoint of :func:`_to_piece_forms` + z-plane reassembly.
+
+    ``vm``: 4 main pieces (C, ncz*p, rows_j, yx); ``vtop``: (C, 1, p1^2, yx)
+    holding the global top plane in assembled row order.  Overlapping y/x
+    node contributions are summed by construction (pad-shift adds).
+    """
+    nz, ny, nx = n_nodes_axis
+    ncy, ncx = (ny - 1) // p, (nx - 1) // p
+    yx = ncy * ncx
+    c = vm[0].shape[0]
+    p2 = p * p
+    tops = (vtop[:, :, :p2], vtop[:, :, p2:p2 + p],
+            vtop[:, :, p2 + p:p2 + 2 * p], vtop[:, :, p2 + 2 * p:])
+    full = [jnp.concatenate([m, t], axis=1) for m, t in zip(vm, tops)]
+
+    # mm: values at (y = cy*p + ky, x = cx*p + kx), ky, kx < p
+    mm = full[0].reshape(c, nz, p, p, ncy, ncx)
+    mm = mm.transpose(0, 1, 4, 2, 5, 3).reshape(c, nz, ncy * p, ncx * p)
+    v = jnp.pad(mm, ((0, 0), (0, 0), (0, 1), (0, 1)))
+
+    # mp: values at (y = cy*p + ky, x = (cx+1)*p)
+    mp = full[1].reshape(c, nz, p, ncy, ncx)
+    mp = mp.transpose(0, 1, 3, 2, 4).reshape(c, nz, ncy * p, ncx, 1)
+    mp = jnp.pad(mp, ((0, 0), (0, 0), (0, 0), (0, 0), (p - 1, 0)))
+    mp = mp.reshape(c, nz, ncy * p, ncx * p)
+    v = v + jnp.pad(mp, ((0, 0), (0, 0), (0, 1), (1, 0)))
+
+    # pm: values at (y = (cy+1)*p, x = cx*p + kx)
+    pm = full[2].reshape(c, nz, p, ncy, ncx)
+    pm = pm.transpose(0, 1, 3, 4, 2).reshape(c, nz, ncy, 1, ncx * p)
+    pm = jnp.pad(pm, ((0, 0), (0, 0), (0, 0), (p - 1, 0), (0, 0)))
+    pm = pm.reshape(c, nz, ncy * p, ncx * p)
+    v = v + jnp.pad(pm, ((0, 0), (0, 0), (1, 0), (0, 1)))
+
+    # pp: values at (y = (cy+1)*p, x = (cx+1)*p)
+    pp = full[3].reshape(c, nz, ncy, 1, ncx, 1)
+    pp = jnp.pad(pp, ((0, 0), (0, 0), (0, 0), (p - 1, 0),
+                      (0, 0), (p - 1, 0)))
+    pp = pp.reshape(c, nz, ncy * p, ncx * p)
+    v = v + jnp.pad(pp, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    return v
+
+
+def _kernel_g_pieces(precision, n_comp, p, mats_ref, g6_ref,
+                     mm_m, mm_p, mp_m, mp_p, pm_m, pm_p, pp_m, pp_p,
+                     out_mm, out_mp, out_pm, out_pp, out_top, carry_ref):
+    """Corner-piece z-layer kernel: in-VMEM assembly, carry-plane scatter.
+
+    The four y/x corner pieces arrive separately (each with its own dual
+    z-BlockSpecs for the overlapping +1 plane); rows are concatenated in
+    VMEM and contracted against the column-PERMUTED dense matrices
+    (:func:`_piece_perm`), so no interleaving shuffle ever happens.
+    """
+    p1 = p + 1
+    p13 = mats_ref.shape[1]
+    q3 = g6_ref.shape[0] // 6
+    B = mm_m.shape[3]
+    p2 = p * p
+    i = pl.program_id(0)
+
+    planes = [jnp.concatenate([a[:], b[:]], axis=1)
+              for a, b in ((mm_m, mm_p), (mp_m, mp_p),
+                           (pm_m, pm_p), (pp_m, pp_p))]
+    u = jnp.concatenate(planes, axis=2)  # (C, p1, p1^2, B)
+    u = u.reshape(n_comp * p13, B)
+
+    m = mats_ref[:]
+    g6 = g6_ref[:]
+    g00, g01, g02 = g6[:q3], g6[q3:2 * q3], g6[2 * q3:3 * q3]
+    g11, g12, g22 = g6[3 * q3:4 * q3], g6[4 * q3:5 * q3], g6[5 * q3:]
+    dn_t = (((0,), (0,)), ((), ()))
+    grads = []
+    for c in range(n_comp):
+        u_c = u[c * p13:(c + 1) * p13, :]
+        grads.append(_mm(m, u_c, precision).reshape(3, q3, B))
+    vs = []
+    for g in grads:
+        t0 = g00 * g[0] + g01 * g[1] + g02 * g[2]
+        t1 = g01 * g[0] + g11 * g[1] + g12 * g[2]
+        t2 = g02 * g[0] + g12 * g[1] + g22 * g[2]
+        vs.append(_mm(m, jnp.concatenate([t0, t1, t2], axis=0),
+                      precision, dims=dn_t))
+    v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
+
+    first = v[:, :1] + jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
+    vmain = jnp.concatenate([first, v[:, 1:p]], axis=1)  # (C, p, p1^2, B)
+    out_mm[:] = vmain[:, :, :p2].astype(out_mm.dtype)
+    out_mp[:] = vmain[:, :, p2:p2 + p].astype(out_mp.dtype)
+    out_pm[:] = vmain[:, :, p2 + p:p2 + 2 * p].astype(out_pm.dtype)
+    out_pp[:] = vmain[:, :, p2 + 2 * p:].astype(out_pp.dtype)
+    carry_ref[:] = v[:, p]
+    out_top[:] = v[:, p:].astype(out_top.dtype)
+
+
+def apply_lattice_pieces(op: PallasOperatorData, u: jax.Array,
+                         interpret: bool | None = None) -> jax.Array:
+    """Matvec with corner-piece windowing (windowing="pieces")."""
+    import functools
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p1 = round(op.mats.shape[1] ** (1 / 3))
+    p = p1 - 1
+    n_comp, nz, ny, nx = u.shape
+    ncz = (nz - 1) // p
+    B = ((ny - 1) // p) * ((nx - 1) // p)
+    q3 = op.w3.shape[0]
+    p13 = op.mats.shape[1]
+    p2 = p * p
+
+    mm, mp, pm, pp = _to_piece_forms(u, p)
+
+    def specs_for(rows):
+        return [
+            pl.BlockSpec((n_comp, p, rows, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, 1, rows, B),
+                         lambda i: (0, i * p + p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel_g_pieces, op.precision, n_comp, p),
+        grid=(ncz,),
+        in_specs=[
+            pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * q3, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *specs_for(p2), *specs_for(p), *specs_for(p), *specs_for(1),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_comp, p, p2, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, p, p, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, p, p, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, p, 1, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, 1, p1 * p1, B), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_comp, ncz * p, p2, B), u.dtype),
+            jax.ShapeDtypeStruct((n_comp, ncz * p, p, B), u.dtype),
+            jax.ShapeDtypeStruct((n_comp, ncz * p, p, B), u.dtype),
+            jax.ShapeDtypeStruct((n_comp, ncz * p, 1, B), u.dtype),
+            jax.ShapeDtypeStruct((n_comp, 1, p1 * p1, B), u.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM(
+            (n_comp, p1 * p1, B),
+            jnp.float64 if u.dtype == jnp.float64 else jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(op.mats, op.gmetric, mm, mm, mp, mp, pm, pm, pp, pp)
+
+    return _from_piece_forms(outs[:4], outs[4], p, (nz, ny, nx))
 
 
 def apply_local_batched(op: PallasOperatorData, u_loc: jax.Array,
@@ -732,6 +955,8 @@ def apply_lattice(op: PallasOperatorData, u: jax.Array,
     ncx = (u.shape[3] - 1) // p
     if op.windowing == "zslab":
         return apply_lattice_zslab(op, u, interpret=interpret)
+    if op.windowing == "pieces":
+        return apply_lattice_pieces(op, u, interpret=interpret)
     if op.windowing == "matmul":
         u_loc = _to_cell_batches_mm(u, p, nc_pad, op.wmats)
         v_loc = apply_local_batched(op, u_loc, interpret=interpret)
@@ -749,7 +974,11 @@ def vmult(op: PallasOperatorData, u: jax.Array,
           constrained_identity: bool = True,
           interpret: bool | None = None) -> jax.Array:
     """Full operator with Dirichlet masking; semantics as ``laplace.vmult``."""
-    v = apply_lattice(op, u * op.mask, interpret=interpret) * op.mask
+    if op.windowing == "zslab":
+        # both mask applications happen inside the kernel (windowed mask)
+        v = apply_lattice_zslab(op, u, interpret=interpret)
+    else:
+        v = apply_lattice(op, u * op.mask, interpret=interpret) * op.mask
     if constrained_identity:
         v = v + u * (1.0 - op.mask)
     return v

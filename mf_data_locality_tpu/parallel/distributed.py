@@ -258,24 +258,42 @@ def replace_coeffs_structured(op, layout, d, ncz_loc, mask_lat, Pp, dtype):
                        mask=jnp.asarray(mask, dtype=dtype))
 
 
-def _halo_sum(v: jax.Array, n_dev: int) -> jax.Array:
-    """Complete the shared-plane partial sums and restore replication.
+def _halo_sum_axis(v: jax.Array, n_dev: int, axis_name: str,
+                   axis: int) -> jax.Array:
+    """Complete shared-plane partial sums along one sharded lattice axis.
 
     Two one-plane ppermutes over ICI — the TPU analog of the deal.II
-    partitioner's compress(add) + update_ghost_values pair.
+    partitioner's compress(add) + update_ghost_values pair.  With multiple
+    sharded axes, applying this per axis in sequence resolves edge/corner
+    contributions implicitly (dimension-split halo exchange: the z-sum runs
+    over arrays that still carry the y ghosts, so the subsequent y-sum sees
+    z-complete planes).
     """
     if n_dev == 1:
         return v
+    first = lambda a: jax.lax.slice_in_dim(a, 0, 1, axis=axis)  # noqa: E731
+    last = lambda a: jax.lax.slice_in_dim(  # noqa: E731
+        a, a.shape[axis] - 1, a.shape[axis], axis=axis)
+    rest = lambda a: jax.lax.slice_in_dim(  # noqa: E731
+        a, 1, a.shape[axis], axis=axis)
     # 1) send bottom partial down: device d receives plane-0 partial of d+1
     down = [(d, d - 1) for d in range(1, n_dev)]
-    recv = jax.lax.ppermute(v[:, :1], AXIS, down)  # zeros on last device
-    v = v.at[:, -1:].add(recv)
+    recv = jax.lax.ppermute(first(v), axis_name, down)  # zeros on last dev
+    upd = last(v) + recv
+    v = jnp.concatenate(
+        [jax.lax.slice_in_dim(v, 0, v.shape[axis] - 1, axis=axis), upd],
+        axis=axis)
     # 2) completed top plane travels up to replace the stale bottom plane
     up = [(d, d + 1) for d in range(n_dev - 1)]
-    recv = jax.lax.ppermute(v[:, -1:], AXIS, up)  # zeros on device 0
-    idx = jax.lax.axis_index(AXIS)
-    bottom = jnp.where(idx > 0, recv, v[:, :1])
-    return jnp.concatenate([bottom, v[:, 1:]], axis=1)
+    recv = jax.lax.ppermute(last(v), axis_name, up)  # zeros on device 0
+    idx = jax.lax.axis_index(axis_name)
+    bottom = jnp.where(idx > 0, recv, first(v))
+    return jnp.concatenate([bottom, rest(v)], axis=axis)
+
+
+def _halo_sum(v: jax.Array, n_dev: int) -> jax.Array:
+    """1D z-slab halo sum (axis 1 of the local (C, P+1, Ny, Nx) slab)."""
+    return _halo_sum_axis(v, n_dev, AXIS, 1)
 
 
 def _apply(op_local, u: jax.Array, backend: str) -> jax.Array:
@@ -421,6 +439,248 @@ def solve(dist: DistributedBP4, mesh: Mesh, solver: str = "merged",
     x, it, res_norm, hist, conv = jax.jit(fn)(
         dist.op_stack, dist.inv_diag, dist.b, dist.weight)
     return cg.SolveResult(x, it, res_norm, hist, conv)
+
+
+AXIS_Y = "y"
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistributedBP4_2D:
+    """2D (z x y) slab decomposition; leading axes (Dz, Dy) sharded."""
+
+    op_stack: Any  # operator pytree, each leaf (Dz, Dy, ...)
+    inv_diag: jax.Array  # (Dz, Dy, 1, Pz+1, Py+1, Nx)
+    b: jax.Array  # (Dz, Dy, C, Pz+1, Py+1, Nx)
+    weight: jax.Array  # (Dz, Dy, 1, Pz+1, Py+1, 1)
+    n_dofs: int = field(metadata=dict(static=True), default=0)
+    n_cells: int = field(metadata=dict(static=True), default=0)
+    mesh_shape: tuple = field(metadata=dict(static=True), default=(1, 1))
+    backend: str = field(metadata=dict(static=True), default="structured")
+
+
+def _pad_slice(arr: np.ndarray, axis: int, start: int, length: int
+               ) -> np.ndarray:
+    """arr[start:start+length] along axis, zero-padded past the end."""
+    sl = [slice(None)] * arr.ndim
+    sl[axis] = slice(start, start + length)
+    out = arr[tuple(sl)]
+    short = length - out.shape[axis]
+    if short:
+        shape = list(out.shape)
+        shape[axis] = short
+        out = np.concatenate([out, np.zeros(shape, out.dtype)], axis=axis)
+    return out
+
+
+def build_distributed_2d(s: int, degree: int, mesh_shape: tuple[int, int],
+                         dtype=jnp.float32, backend: str = "structured",
+                         n_components: int = 3, devices=None,
+                         box: BoxMesh | None = None
+                         ) -> tuple[DistributedBP4_2D, Mesh]:
+    """Partition BP4 over a 2D (z, y) device mesh.
+
+    The 2D analog of :func:`build_distributed` — each device owns a
+    (ncz_loc, ncy_loc, ncx) cell block with replicated shared planes on the
+    z and y faces; edge (corner-line) consistency is handled implicitly by
+    the sequential per-axis halo sums (SURVEY.md §5 long-context slot;
+    ROADMAP "2D/3D device decomposition").
+    """
+    Dz, Dy = mesh_shape
+    devs = list(devices if devices is not None else jax.devices())
+    if len(devs) < Dz * Dy:
+        raise ValueError(f"requested {Dz}x{Dy} devices, have {len(devs)}")
+    mesh = Mesh(np.array(devs[:Dz * Dy]).reshape(Dz, Dy), (AXIS, AXIS_Y))
+
+    layout = DofLayout(box if box is not None else BoxMesh.from_s(s), degree)
+    ncz, ncy, ncx = layout.mesh.n_cells_axis
+    p = degree
+    nz, nyn, nx = layout.n_nodes_axis
+    ncz_loc = -(-ncz // Dz)
+    ncy_loc = -(-ncy // Dy)
+    Pz, Py = ncz_loc * p, ncy_loc * p
+
+    n = layout.n_nodes
+    dof_index = (np.arange(n)[:, None] * n_components
+                 + np.arange(n_components)[None, :])
+    b = (dof_index % 8).astype(np.float64)
+    b[layout.boundary_node_mask] = 0.0
+    b_lat = b.T.reshape(n_components, nz, nyn, nx)
+    inv_diag = np.asarray(
+        diagonal.compute_inverse_diagonal(layout, dtype=jnp.float64))
+    inv_lat = inv_diag.reshape(1, nz, nyn, nx)
+    mask_lat = (~layout.boundary_node_mask).reshape(1, nz, nyn, nx)
+
+    def slab2(arr):
+        rows = []
+        for dz in range(Dz):
+            row = []
+            for dy in range(Dy):
+                sl = _pad_slice(arr, 1, dz * Pz, Pz + 1)
+                sl = _pad_slice(sl, 2, dy * Py, Py + 1)
+                row.append(sl)
+            rows.append(np.stack(row))
+        return np.stack(rows)  # (Dz, Dy, C, Pz+1, Py+1, Nx)
+
+    weight = np.ones((Dz, Dy, 1, Pz + 1, Py + 1, 1))
+    weight[1:, :, :, 0] = 0.0  # z-ghost plane of dz > 0
+    weight[:, 1:, :, :, 0] = 0.0  # y-ghost plane of dy > 0
+    for dz in range(Dz):
+        for j in range(Pz + 1):
+            if dz * Pz + j >= nz:
+                weight[dz, :, :, j] = 0.0
+    for dy in range(Dy):
+        for k in range(Py + 1):
+            if dy * Py + k >= nyn:
+                weight[:, dy, :, :, k] = 0.0
+
+    from mf_data_locality_tpu.ops.geometry import trilinear_coefficients
+
+    co_all = trilinear_coefficients(layout.mesh.cell_vertices)
+    co_all = co_all.reshape(ncz, ncy, ncx, 8, 3)
+
+    ops = []
+    for dz in range(Dz):
+        row = []
+        for dy in range(Dy):
+            slab_mesh = BoxMesh(n_cells_axis=(ncz_loc, ncy_loc, ncx),
+                                spacing=layout.mesh.spacing,
+                                deformed=layout.mesh.deformed)
+            sl_layout = DofLayout(slab_mesh, degree)
+            co = co_all[dz * ncz_loc:(dz + 1) * ncz_loc,
+                        dy * ncy_loc:(dy + 1) * ncy_loc]
+            msk = _pad_slice(_pad_slice(mask_lat, 1, dz * Pz, Pz + 1),
+                             2, dy * Py, Py + 1)
+            if backend == "pallas":
+                op = laplace_pallas.make_pallas_operator(sl_layout,
+                                                         dtype=dtype)
+                co_k = co.reshape(-1, 8, 3).transpose(2, 1, 0)
+                op = replace_coeffs_pallas_raw(op, co_k, msk, dtype)
+            else:
+                op = laplace_structured.make_structured_operator(
+                    sl_layout, dtype=dtype)
+                short = ncz_loc - co.shape[0]
+                if short:
+                    pad = np.zeros((short, co.shape[1], ncx, 8, 3))
+                    pad[..., 1, 0] = pad[..., 2, 1] = pad[..., 4, 2] = 1.0
+                    co = np.concatenate([co, pad], axis=0)
+                short_y = ncy_loc - co.shape[1]
+                if short_y:
+                    pad = np.zeros((ncz_loc, short_y, ncx, 8, 3))
+                    pad[..., 1, 0] = pad[..., 2, 1] = pad[..., 4, 2] = 1.0
+                    co = np.concatenate([co, pad], axis=1)
+                co = co.reshape(ncz_loc, 1, ncy_loc, 1, ncx, 1, 8, 3)
+                op = op._replace(coeffs=jnp.asarray(co, dtype=dtype),
+                                 mask=jnp.asarray(msk, dtype=dtype))
+            row.append(op)
+        ops.append(jax.tree.map(lambda *xs: jnp.stack(xs), *row))
+    op_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *ops)
+
+    sharding = NamedSharding(mesh, P(AXIS, AXIS_Y))
+    dist = DistributedBP4_2D(
+        op_stack=jax.device_put(op_stack, sharding),
+        inv_diag=jax.device_put(jnp.asarray(slab2(inv_lat), dtype=dtype),
+                                sharding),
+        b=jax.device_put(jnp.asarray(slab2(b_lat), dtype=dtype), sharding),
+        weight=jax.device_put(jnp.asarray(weight, dtype=dtype), sharding),
+        n_dofs=layout.n_nodes * n_components,
+        n_cells=layout.mesh.n_cells,
+        mesh_shape=(Dz, Dy),
+        backend=backend,
+    )
+    return dist, mesh
+
+
+def replace_coeffs_pallas_raw(op, co, msk, dtype):
+    """Install raw (3, 8, nc) coefficients + mask into a pallas operator,
+    padding trailing kernel-block lanes with unit-geometry dummies."""
+    nc_pad = op.coeffs.shape[2]
+    nc = co.shape[2]
+    full = np.zeros((3, 8, nc_pad))
+    full[:, :, :nc] = co
+    full[0, 1, nc:] = full[1, 2, nc:] = full[2, 4, nc:] = 1.0
+    gmetric = op.gmetric
+    if gmetric is not None:
+        p1 = round(op.mats.shape[1] ** (1 / 3))
+        q = round(op.w3.shape[0] ** (1 / 3))
+        w3 = np.asarray(op.w3, np.float64)
+        gm = np.concatenate(
+            [laplace_pallas.metric_for_coeffs(co, p1 - 1, q),
+             laplace_pallas.dummy_metric_columns(w3, nc_pad - nc)], axis=1)
+        gmetric = jnp.asarray(gm, dtype=dtype)
+    return replace(op, coeffs=jnp.asarray(full, dtype=dtype),
+                   gmetric=gmetric, mask=jnp.asarray(msk, dtype=dtype))
+
+
+def dist_vmult_2d(op_local, u: jax.Array, mesh_shape, backend: str,
+                  constrained_identity: bool = True) -> jax.Array:
+    """Distributed apply on one device's (z, y) block (inside shard_map)."""
+    Dz, Dy = mesh_shape
+    mask = op_local.mask
+    um = u * mask
+    raw = _apply(op_local, um, backend)
+    raw = _halo_sum_axis(raw, Dz, AXIS, 1)
+    raw = _halo_sum_axis(raw, Dy, AXIS_Y, 2)
+    v = raw * mask
+    if constrained_identity:
+        v = v + u * (1.0 - mask)
+    return v
+
+
+def solve_2d(dist: DistributedBP4_2D, mesh: Mesh, solver: str = "merged",
+             max_iter: int = 100, rel_tol: float = 1e-8) -> cg.SolveResult:
+    """Distributed CG over the 2D mesh; one 7-scalar psum over BOTH axes
+    per merged iteration."""
+    mesh_shape = dist.mesh_shape
+    backend = dist.backend
+
+    def body(op_stack, inv_diag, b, weight):
+        op_local = jax.tree.map(lambda x: x[0, 0], op_stack)
+        prec = inv_diag[0, 0]
+        b_loc = b[0, 0]
+        w = weight[0, 0]
+        a = partial(dist_vmult_2d, op_local, mesh_shape=mesh_shape,
+                    backend=backend,
+                    constrained_identity=(solver == "baseline"))
+        psum2 = lambda s: jax.lax.psum(s, (AXIS, AXIS_Y))  # noqa: E731
+        if solver == "merged":
+            res = cg_merged.merged_cg_solve(
+                a, b_loc, prec, max_iter=max_iter, rel_tol=rel_tol,
+                reduce_sums=psum2, dot_weight=w)
+        else:
+            res = cg.cg_solve(
+                a, b_loc, prec, max_iter=max_iter, rel_tol=rel_tol,
+                reduce_scalar=psum2, dot_weight=w)
+        return (res.x[None, None], res.n_iterations, res.res_norm,
+                res.res_history, res.converged)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, AXIS_Y),) * 4,
+        out_specs=(P(AXIS, AXIS_Y), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    x, it, res_norm, hist, conv = jax.jit(fn)(
+        dist.op_stack, dist.inv_diag, dist.b, dist.weight)
+    return cg.SolveResult(x, it, res_norm, hist, conv)
+
+
+def gather_global_2d(x_dist: jax.Array, nz: int | None = None,
+                     ny: int | None = None) -> np.ndarray:
+    """(Dz, Dy, C, Pz+1, Py+1, Nx) -> global (C, Nz, Ny, Nx)."""
+    x = np.asarray(x_dist)
+    Dz, Dy = x.shape[:2]
+    rows = []
+    for dz in range(Dz):
+        cols = [x[dz, 0]] + [x[dz, dy][:, :, 1:] for dy in range(1, Dy)]
+        row = np.concatenate(cols, axis=2)
+        rows.append(row if dz == 0 else row[:, 1:])
+    full = np.concatenate(rows, axis=1)
+    if nz is not None:
+        full = full[:, :nz]
+    if ny is not None:
+        full = full[:, :, :ny]
+    return full
 
 
 def gather_global(x_dist: jax.Array, nz: int | None = None) -> np.ndarray:

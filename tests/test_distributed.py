@@ -179,3 +179,52 @@ def test_overlap_fallback_small_slabs():
                                       backend="structured")
     r = dist.solve(dp, mesh, solver="merged", max_iter=10, overlap=True)
     assert int(r.n_iterations) == 10
+
+
+@requires_8
+@pytest.mark.parametrize("shape", [(2, 2), (4, 2), (3, 2)])
+def test_distributed_2d_matches_single(shape):
+    """2D (z x y) decomposition == single device (dimension-split halo
+    sums resolve edge contributions implicitly); (3,2) exercises
+    non-divisible padding in z."""
+    s, p = 9, 2
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="structured")
+    r1 = bp4.solve_merged(ref, max_iter=25)
+    dp, mesh = dist.build_distributed_2d(s, p, shape, dtype=jnp.float64,
+                                         backend="structured")
+    rd = dist.solve_2d(dp, mesh, max_iter=25)
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    nzy = 8 * p + 1
+    xg = dist.gather_global_2d(rd.x, nz=nzy, ny=nzy).reshape(3, -1)
+    x1 = np.asarray(r1.x).reshape(3, -1)
+    assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+
+@requires_8
+def test_distributed_2d_pallas_matches_single():
+    s, p, shape = 6, 2, (2, 2)
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="pallas")
+    r1 = bp4.solve_merged(ref, max_iter=20)
+    dp, mesh = dist.build_distributed_2d(s, p, shape, dtype=jnp.float64,
+                                         backend="pallas")
+    rd = dist.solve_2d(dp, mesh, max_iter=20)
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    nzy = 4 * p + 1
+    xg = dist.gather_global_2d(rd.x, nz=nzy, ny=nzy).reshape(3, -1)
+    x1 = np.asarray(r1.x).reshape(3, -1)
+    assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+
+@requires_8
+def test_distributed_2d_replication_invariant():
+    dp, mesh = dist.build_distributed_2d(9, 2, (2, 4), dtype=jnp.float64,
+                                         backend="structured")
+    rd = dist.solve_2d(dp, mesh, max_iter=15)
+    x = np.asarray(rd.x)
+    for dz in range(2):
+        for dy in range(1, 4):
+            np.testing.assert_array_equal(x[dz, dy - 1][:, :, -1],
+                                          x[dz, dy][:, :, 0])
+    for dz in range(1, 2):
+        for dy in range(4):
+            np.testing.assert_array_equal(x[dz - 1, dy][:, -1], x[dz, dy][:, 0])

@@ -38,7 +38,7 @@ def test_metric_precomputed_matches_onthefly(s, p):
     assert float(jnp.max(jnp.abs(v_otf - v_pre))) < 1e-13 * scale
 
 
-@pytest.mark.parametrize("windowing", ["matmul", "conv", "zslab"])
+@pytest.mark.parametrize("windowing", ["matmul", "conv", "zslab", "pieces"])
 @pytest.mark.parametrize("s,p", [(3, 2), (4, 3)])
 def test_windowing_modes_match_reshape(windowing, s, p):
     layout = DofLayout(BoxMesh.from_s(s), p)
