@@ -32,9 +32,12 @@ def main() -> None:
     bw = timing.measure_hbm_bandwidth()
 
     degree, s = 4, 13  # 8192 cells, ~1.6M DoFs
+    # headline config: corner-piece windowing kernel + split3 matmuls
+    # (explicit bf16 hi/lo 3-product decomposition — f32-class operator,
+    # CG-iteration-exact vs HIGHEST; see tools/MICROBENCH.txt)
     r = run_one(degree, s, solver="merged", dtype=jnp.float32,
-                backend="pallas", solve_repeats=2, matvec_repeats=2,
-                matvec_inner=20)
+                backend="pallas", precision="split3", windowing="pieces",
+                solve_repeats=2, matvec_repeats=2, matvec_inner=20)
 
     ideal_bytes_per_dof_per_it = 9 * 4  # x,g,d,h sweeps + diag + geometry (f32)
     roofline = bw / ideal_bytes_per_dof_per_it
@@ -48,6 +51,16 @@ def main() -> None:
           f"time/it={r.time_per_it:.3e}s time/matvec={r.time_per_matvec:.3e}s "
           f"measured_bw={bw/1e9:.0f}GB/s roofline={roofline/1e9:.2f}GDoF/s/it "
           f"converged={r.converged}", file=sys.stderr)
+
+    # reduced-precision variant (vector_access_reduced capability slot:
+    # bf16 operator-stream storage + single-pass bf16 matmuls)
+    rb = run_one(degree, s, solver="merged", dtype=jnp.bfloat16,
+                 backend="pallas", precision="bf16", windowing="pieces",
+                 solve_repeats=2, matvec_repeats=2, matvec_inner=20)
+    print(f"# bf16 variant: dofs/s/it={rb.dofs_per_s_per_it:.3e} "
+          f"({rb.dofs_per_s_per_it / roofline:.3f} of roofline) "
+          f"time/it={rb.time_per_it:.3e}s "
+          f"time/matvec={rb.time_per_matvec:.3e}s", file=sys.stderr)
 
 
 if __name__ == "__main__":
