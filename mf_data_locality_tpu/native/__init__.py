@@ -38,8 +38,12 @@ def _build() -> bool:
 
 def _load() -> None:
     global _lib, AVAILABLE
-    if not _LIB_PATH.exists() and not _build():
-        return
+    src = _SRC_DIR / "setup.cc"
+    stale = (_LIB_PATH.exists() and src.exists()
+             and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
+    if (not _LIB_PATH.exists() or stale) and not _build():
+        if not _LIB_PATH.exists():
+            return
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
@@ -56,6 +60,10 @@ def _load() -> None:
     lib.renumber_locality.argtypes = [i32p, c64, c, c64, u8p, i32p]
     lib.renumber_locality.restype = c64
     lib.build_boundary_mask.argtypes = [c64, c64, c64, u8p]
+    try:
+        lib.metric_entries.argtypes = [f64p, c64, f64p, f64p, c, f64p]
+    except AttributeError:  # stale library missing the newer entry point
+        return
     _lib = lib
     AVAILABLE = True
 
@@ -107,3 +115,17 @@ def boundary_mask(nz: int, ny: int, nx: int) -> np.ndarray:
     out = np.empty(nz * ny * nx, dtype=np.uint8)
     _lib.build_boundary_mask(nz, ny, nx, out)
     return out.astype(bool)
+
+
+def metric_entries(coeffs: np.ndarray, q_points: np.ndarray,
+                   w3: np.ndarray) -> np.ndarray:
+    """(6*q^3, nc) precomputed metric entries (native; see
+    laplace_pallas._metric_entries for the NumPy fallback/definition)."""
+    co = np.ascontiguousarray(coeffs, dtype=np.float64)
+    nc = co.shape[0]
+    qp = np.ascontiguousarray(q_points, dtype=np.float64)
+    w3f = np.ascontiguousarray(np.asarray(w3).reshape(-1), dtype=np.float64)
+    q = qp.size
+    out = np.empty((6 * q**3) * nc, dtype=np.float64)
+    _lib.metric_entries(co.reshape(-1), nc, qp, w3f, q, out)
+    return out.reshape(6 * q**3, nc)

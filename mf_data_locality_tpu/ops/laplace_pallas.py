@@ -118,6 +118,11 @@ def _metric_entries(coeffs: np.ndarray, q_points: np.ndarray,
     f32 words per q-point from HBM at ~900 GB/s, so the compute-for-bandwidth
     trade flips (measured; see tools/MICROBENCH.txt).
     """
+    from mf_data_locality_tpu import native
+
+    if native.AVAILABLE:
+        return native.metric_entries(coeffs, q_points, w3)
+
     qp = q_points
     q = qp.size
     w, v, u = np.meshgrid(qp, qp, qp, indexing="ij")

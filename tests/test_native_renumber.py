@@ -143,3 +143,30 @@ def test_cellbatch_touch_count_grouping_partial():
     # class-0 block = nodes with a single batch-touch; they come first
     cls0 = touch_b <= 1
     assert perm[cls0].max() == cls0.sum() - 1
+
+
+@needs_native
+def test_native_metric_entries_matches_numpy():
+    """Native metric precompute == NumPy reference (f64 exact-ish)."""
+    from mf_data_locality_tpu.ops import lagrange
+    from mf_data_locality_tpu.ops.geometry import trilinear_coefficients
+    from mf_data_locality_tpu.ops.laplace_pallas import _metric_entries
+
+    layout = DofLayout(BoxMesh.from_s(5), 3)
+    coeffs = trilinear_coefficients(layout.mesh.cell_vertices)
+    shape = lagrange.make_shape(3, 5)
+    w = shape.q_weights
+    w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(-1, 1)
+
+    g_native = native.metric_entries(coeffs, shape.q_points, w3)
+
+    # NumPy reference path (bypass the native dispatch inside _metric_entries)
+    import mf_data_locality_tpu.native as nat
+    avail = nat.AVAILABLE
+    try:
+        nat.AVAILABLE = False
+        g_np = _metric_entries(coeffs, shape.q_points, w3)
+    finally:
+        nat.AVAILABLE = avail
+    assert g_native.shape == g_np.shape
+    assert np.max(np.abs(g_native - g_np)) < 1e-13 * np.max(np.abs(g_np))
