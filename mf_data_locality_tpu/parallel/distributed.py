@@ -80,7 +80,9 @@ def _cells_per_slab(layout: DofLayout, n_dev: int) -> int:
 def build_distributed(s: int, degree: int, n_devices: int | None = None,
                       dtype=jnp.float32, backend: str = "pallas",
                       n_components: int = 3, devices=None,
-                      box: BoxMesh | None = None) -> tuple[DistributedBP4, Mesh]:
+                      box: BoxMesh | None = None,
+                      precision: str = "highest",
+                      windowing: str = "reshape") -> tuple[DistributedBP4, Mesh]:
     """Partition the BP4 problem over a 1D device mesh.
 
     Arrays are built globally (host NumPy), split into z-slabs with the
@@ -145,7 +147,9 @@ def build_distributed(s: int, degree: int, n_devices: int | None = None,
         # use the GLOBAL geometry for this slab: cells d*ncz_loc .. (d+1)*ncz_loc
         sl_layout = DofLayout(slab_mesh, degree)
         if backend == "pallas":
-            op = laplace_pallas.make_pallas_operator(sl_layout, dtype=dtype)
+            op = laplace_pallas.make_pallas_operator(
+                sl_layout, dtype=dtype, precision=precision,
+                windowing=windowing)
             co = _slab_cell_coeffs(layout, d, ncz_loc, dtype)
             op = replace_coeffs_pallas(op, co, mask_lat, d, Pp, dtype)
         else:
@@ -236,9 +240,14 @@ def replace_coeffs_pallas(op, co, mask_lat, d, Pp, dtype):
             [laplace_pallas.metric_for_coeffs(co, p1 - 1, q),
              laplace_pallas.dummy_metric_columns(w3, nc_pad - nc)], axis=1)
         gmetric = jnp.asarray(gm, dtype=dtype)
+    mask_j = jnp.asarray(mask, dtype=op.mask.dtype)
+    mask_w = op.mask_w
+    if mask_w is not None:  # zslab mode: windowed mask must match the slab
+        p1 = round(op.mats.shape[1] ** (1 / 3))
+        mask_w = laplace_pallas._to_zslab_form(mask_j, p1 - 1)
     return replace(op, coeffs=jnp.asarray(full, dtype=dtype),
-                   gmetric=gmetric,
-                   mask=jnp.asarray(mask, dtype=dtype))
+                   gmetric=gmetric, mask_w=mask_w,
+                   mask=mask_j)
 
 
 def replace_coeffs_structured(op, layout, d, ncz_loc, mask_lat, Pp, dtype):
@@ -476,7 +485,9 @@ def _pad_slice(arr: np.ndarray, axis: int, start: int, length: int
 def build_distributed_2d(s: int, degree: int, mesh_shape: tuple[int, int],
                          dtype=jnp.float32, backend: str = "structured",
                          n_components: int = 3, devices=None,
-                         box: BoxMesh | None = None
+                         box: BoxMesh | None = None,
+                         precision: str = "highest",
+                         windowing: str = "reshape"
                          ) -> tuple[DistributedBP4_2D, Mesh]:
     """Partition BP4 over a 2D (z, y) device mesh.
 
@@ -552,8 +563,9 @@ def build_distributed_2d(s: int, degree: int, mesh_shape: tuple[int, int],
             msk = _pad_slice(_pad_slice(mask_lat, 1, dz * Pz, Pz + 1),
                              2, dy * Py, Py + 1)
             if backend == "pallas":
-                op = laplace_pallas.make_pallas_operator(sl_layout,
-                                                         dtype=dtype)
+                op = laplace_pallas.make_pallas_operator(
+                    sl_layout, dtype=dtype, precision=precision,
+                    windowing=windowing)
                 co_k = co.reshape(-1, 8, 3).transpose(2, 1, 0)
                 op = replace_coeffs_pallas_raw(op, co_k, msk, dtype)
             else:
@@ -608,8 +620,13 @@ def replace_coeffs_pallas_raw(op, co, msk, dtype):
             [laplace_pallas.metric_for_coeffs(co, p1 - 1, q),
              laplace_pallas.dummy_metric_columns(w3, nc_pad - nc)], axis=1)
         gmetric = jnp.asarray(gm, dtype=dtype)
+    mask_j = jnp.asarray(msk, dtype=op.mask.dtype)
+    mask_w = op.mask_w
+    if mask_w is not None:
+        p1 = round(op.mats.shape[1] ** (1 / 3))
+        mask_w = laplace_pallas._to_zslab_form(mask_j, p1 - 1)
     return replace(op, coeffs=jnp.asarray(full, dtype=dtype),
-                   gmetric=gmetric, mask=jnp.asarray(msk, dtype=dtype))
+                   gmetric=gmetric, mask_w=mask_w, mask=mask_j)
 
 
 def dist_vmult_2d(op_local, u: jax.Array, mesh_shape, backend: str,
