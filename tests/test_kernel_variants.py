@@ -145,3 +145,20 @@ def test_f32_iteration_parity_vs_f64():
         assert bool(r64.converged) and bool(r32.converged)
         it64, it32 = int(r64.n_iterations), int(r32.n_iterations)
         assert abs(it64 - it32) <= max(1, round(0.03 * it64)), (it64, it32)
+
+
+@pytest.mark.parametrize("p", [5, 7, 9])
+def test_high_degree_pallas_matches_structured(p):
+    """Degrees beyond the benchmark sweet spot (reference dispatch covers
+    p=1..11, benchmark.h:290-313): pallas (precomputed metric) vs the
+    structured lattice path on a tiny mesh."""
+    from mf_data_locality_tpu.ops import laplace_structured as ls
+
+    layout = DofLayout(BoxMesh.from_s(1), p)
+    u = _rand_u(layout)
+    op_s = ls.make_structured_operator(layout, dtype=jnp.float64)
+    v_ref = ls.vmult(op_s, u)
+    op_p = lp.make_pallas_operator(layout, dtype=jnp.float64)
+    v = lp.vmult(op_p, u)
+    scale = float(jnp.max(jnp.abs(v_ref)))
+    assert float(jnp.max(jnp.abs(v_ref - v))) < 1e-11 * scale

@@ -11,27 +11,27 @@ for cfg in "2 14" "4 13" "1 15" "3 14" "5 12" "6 12"; do
   set -- $cfg
   echo "## merged p=$1 s=$2 (split3/pieces)" >> $OUT
   timeout 1800 python -m mf_data_locality_tpu.benchmark $1 $2 1 \
-    --solver merged --precision split3 --windowing pieces 2>/dev/null \
+    --solver merged --precision split3 --windowing pieces 2>>/root/repo/tools/SWEEP_STDERR.log \
     | tail -n +2 >> $OUT
 done
 echo "## merged p=2 s=10 convergent point (split3/pieces)" >> $OUT
 timeout 1800 python -m mf_data_locality_tpu.benchmark 2 10 1 \
-  --solver merged --precision split3 --windowing pieces 2>/dev/null \
+  --solver merged --precision split3 --windowing pieces 2>>/root/repo/tools/SWEEP_STDERR.log \
   | tail -n +2 >> $OUT
 echo "## merged p=4 s=13 bf16 storage + bf16 matmuls (pieces)" >> $OUT
 timeout 1800 python -m mf_data_locality_tpu.benchmark 4 13 1 \
   --solver merged --dtype bf16 --precision bf16 --windowing pieces \
-  2>/dev/null | tail -n +2 >> $OUT
+  2>>/root/repo/tools/SWEEP_STDERR.log | tail -n +2 >> $OUT
 echo "## merged p=2 s=14 bf16 storage + bf16 matmuls (pieces)" >> $OUT
 timeout 1800 python -m mf_data_locality_tpu.benchmark 2 14 1 \
   --solver merged --dtype bf16 --precision bf16 --windowing pieces \
-  2>/dev/null | tail -n +2 >> $OUT
+  2>>/root/repo/tools/SWEEP_STDERR.log | tail -n +2 >> $OUT
 echo "## baseline p=2 s=14 (split3/pieces)" >> $OUT
 timeout 1800 python -m mf_data_locality_tpu.benchmark 2 14 1 \
-  --solver baseline --precision split3 --windowing pieces 2>/dev/null \
+  --solver baseline --precision split3 --windowing pieces 2>>/root/repo/tools/SWEEP_STDERR.log \
   | tail -n +2 >> $OUT
 echo "## baseline p=4 s=13 (split3/pieces)" >> $OUT
 timeout 1800 python -m mf_data_locality_tpu.benchmark 4 13 1 \
-  --solver baseline --precision split3 --windowing pieces 2>/dev/null \
+  --solver baseline --precision split3 --windowing pieces 2>>/root/repo/tools/SWEEP_STDERR.log \
   | tail -n +2 >> $OUT
 echo "# done $(date -u +%FT%TZ)" >> $OUT
