@@ -228,3 +228,36 @@ def test_distributed_2d_replication_invariant():
     for dz in range(1, 2):
         for dy in range(4):
             np.testing.assert_array_equal(x[dz - 1, dy][:, -1], x[dz, dy][:, 0])
+
+
+@requires_8
+@pytest.mark.parametrize("shape", [(2, 2, 2), (1, 2, 4), (3, 2, 1)])
+def test_distributed_3d_matches_single(shape):
+    """Full 3D decomposition: three sequential per-axis halo sums resolve
+    edges AND corners implicitly; (3,2,1) exercises non-divisible padding."""
+    s, p = 6, 2  # mesh (4, 4, 4)
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="structured")
+    r1 = bp4.solve_merged(ref, max_iter=20)
+    dp, mesh = dist.build_distributed_3d(s, p, shape, dtype=jnp.float64,
+                                         backend="structured")
+    rd = dist.solve_3d(dp, mesh, max_iter=20)
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    nn = 4 * p + 1
+    xg = dist.gather_global_3d(rd.x, nz=nn, ny=nn, nx=nn).reshape(3, -1)
+    x1 = np.asarray(r1.x).reshape(3, -1)
+    assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+
+@requires_8
+def test_distributed_3d_pallas_matches_single():
+    s, p, shape = 6, 2, (2, 2, 2)
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="pallas")
+    r1 = bp4.solve_merged(ref, max_iter=15)
+    dp, mesh = dist.build_distributed_3d(s, p, shape, dtype=jnp.float64,
+                                         backend="pallas")
+    rd = dist.solve_3d(dp, mesh, max_iter=15)
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    nn = 4 * p + 1
+    xg = dist.gather_global_3d(rd.x, nz=nn, ny=nn, nx=nn).reshape(3, -1)
+    x1 = np.asarray(r1.x).reshape(3, -1)
+    assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
