@@ -450,8 +450,9 @@ def _kernel_g_zslab(precision, n_comp, mats_ref, g6_ref, um_ref, up_ref,
     v = jnp.stack(vs, axis=0).reshape(n_comp, p + 1, p1yx, B) * mask
 
     first = v[:, :1] + jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
-    out_main_ref[:] = jnp.concatenate(
-        [first, v[:, 1:p]], axis=1).astype(out_main_ref.dtype)
+    vmain = (first if p == 1
+             else jnp.concatenate([first, v[:, 1:p]], axis=1))
+    out_main_ref[:] = vmain.astype(out_main_ref.dtype)
     carry_ref[:] = v[:, p]
     out_top_ref[:] = v[:, p:].astype(out_top_ref.dtype)
 
@@ -661,7 +662,10 @@ def _kernel_g_pieces(precision, n_comp, p, mats_ref, g6_ref,
     v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
 
     first = v[:, :1] + jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
-    vmain = jnp.concatenate([first, v[:, 1:p]], axis=1)  # (C, p, p1^2, B)
+    # p == 1: the "middle planes" slice is empty — Mosaic rejects
+    # zero-sized vectors, so concatenate only when there is a middle
+    vmain = (first if p == 1
+             else jnp.concatenate([first, v[:, 1:p]], axis=1))
     out_mm[:] = vmain[:, :, :p2].astype(out_mm.dtype)
     out_mp[:] = vmain[:, :, p2:p2 + p].astype(out_mp.dtype)
     out_pm[:] = vmain[:, :, p2 + p:p2 + 2 * p].astype(out_pm.dtype)

@@ -261,3 +261,29 @@ def test_distributed_3d_pallas_matches_single():
     xg = dist.gather_global_3d(rd.x, nz=nn, ny=nn, nx=nn).reshape(3, -1)
     x1 = np.asarray(r1.x).reshape(3, -1)
     assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+
+@requires_8
+def test_distributed_pieces_nondivisible_and_overlap():
+    """pieces windowing under slab surgery: non-divisible device count
+    (partial dummy-padded slab) and the overlapped sub-operator path."""
+    s, p = 9, 1  # ncz = 8
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="pallas",
+                    windowing="pieces")
+    r1 = bp4.solve_merged(ref, max_iter=15)
+
+    dp, mesh = dist.build_distributed(s, p, n_devices=3, dtype=jnp.float64,
+                                      backend="pallas", windowing="pieces")
+    rd = dist.solve(dp, mesh, solver="merged", max_iter=15)
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    nz = 8 * p + 1
+    xg = dist.gather_global(rd.x, nz=nz).reshape(3, -1)
+    x1 = np.asarray(r1.x).reshape(3, -1)
+    assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+    dp2, mesh2 = dist.build_distributed(s, p, n_devices=2, dtype=jnp.float64,
+                                        backend="pallas", windowing="pieces")
+    r_over = dist.solve(dp2, mesh2, solver="merged", max_iter=15, overlap=True)
+    assert int(r_over.n_iterations) == int(r1.n_iterations)
+    xo = dist.gather_global(r_over.x, nz=nz).reshape(3, -1)
+    assert np.abs(xo - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
