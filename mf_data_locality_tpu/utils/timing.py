@@ -63,18 +63,27 @@ def time_scan_fetch(step: Callable[[jax.Array], jax.Array], x0: jax.Array,
 
     The analog of the reference's 50-matvec inner loop
     (``benchmark.h:204-215``), with device-side chaining so per-call dispatch
-    latency is amortized away.
+    latency is amortized away.  If the whole chain completes inside the host
+    round-trip latency (tiny problems on the tunneled backend), the
+    measurement is unresolvable — retry once with a 20x longer chain.
     """
 
-    @jax.jit
-    def chain(x):
-        def body(c, _):
-            return step(c), None
-        out, _ = jax.lax.scan(body, x, None, length=inner)
-        return out.ravel()[0]
+    def make_chain(length):
+        @jax.jit
+        def chain(x):
+            def body(c, _):
+                return step(c), None
+            out, _ = jax.lax.scan(body, x, None, length=length)
+            return out.ravel()[0]
+        return chain
 
+    chain = make_chain(inner)
     t = time_min_fetch(lambda: chain(x0), repeats=repeats, warmup=warmup)
-    return t / inner
+    if t > 0.2 * round_trip_latency():
+        return t / inner
+    long = make_chain(inner * 20)
+    t = time_min_fetch(lambda: long(x0), repeats=repeats, warmup=warmup)
+    return t / (inner * 20)
 
 
 def measure_hbm_bandwidth(nbytes: int = 1 << 28) -> float:
