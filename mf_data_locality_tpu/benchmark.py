@@ -127,6 +127,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
 def run_one_distributed(degree: int, s: int, n_devices: int,
                         solver: str = "merged", dtype=jnp.float32,
                         backend: str = "pallas", overlap: bool = False,
+                        precision: str = "highest",
+                        windowing: str = "reshape",
                         solve_repeats: int = 4, matvec_repeats: int = 2,
                         matvec_inner: int = 50) -> RunResult:
     """Distributed solve + matvec timing over an n-device z-slab mesh.
@@ -137,7 +139,9 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
     from mf_data_locality_tpu.parallel import distributed as dist
 
     dp, mesh = dist.build_distributed(s, degree, n_devices=n_devices,
-                                      dtype=dtype, backend=backend)
+                                      dtype=dtype, backend=backend,
+                                      precision=precision,
+                                      windowing=windowing)
     result = dist.solve(dp, mesh, solver=solver, overlap=overlap)
     n_it = int(result.n_iterations)
     solver_time = timing.time_min_fetch(
@@ -216,7 +220,9 @@ def main(argv: list[str] | None = None) -> None:
         if args.devices > 0:
             r = run_one_distributed(args.degree, s, args.devices,
                                     solver=args.solver, dtype=dtype,
-                                    backend=args.backend, overlap=args.overlap)
+                                    backend=args.backend, overlap=args.overlap,
+                                    precision=args.precision,
+                                    windowing=args.windowing)
         else:
             r = run_one(args.degree, s, solver=args.solver, dtype=dtype,
                         backend=args.backend, verbose=not args.compact,

@@ -56,10 +56,8 @@ def locality_permutation_np(gather: np.ndarray, n_nodes: int,
 
     if batch_cells:
         pos = np.arange(flat.size) // (nodes_per_cell * batch_cells)
-        n_batches = int(pos[-1]) + 1 if flat.size else 0
     else:
         pos = np.arange(flat.size)
-        n_batches = 0
 
     # touch order: first/last batch (or flat position) in the cell sweep
     order_idx = np.full(n_nodes, flat.size, dtype=np.int64)

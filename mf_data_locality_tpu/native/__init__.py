@@ -19,6 +19,7 @@ _SRC_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _SRC_DIR / "libmfdl_setup.so"
 
 AVAILABLE = False
+HAS_METRIC = False
 _lib = None
 
 
@@ -60,10 +61,14 @@ def _load() -> None:
     lib.renumber_locality.argtypes = [i32p, c64, c, c64, u8p, i32p]
     lib.renumber_locality.restype = c64
     lib.build_boundary_mask.argtypes = [c64, c64, c64, u8p]
+    global HAS_METRIC
     try:
         lib.metric_entries.argtypes = [f64p, c64, f64p, f64p, c, f64p]
-    except AttributeError:  # stale library missing the newer entry point
-        return
+        HAS_METRIC = True
+    except AttributeError:
+        # stale library missing the newest entry point (and no compiler to
+        # rebuild): keep the older native entry points usable
+        HAS_METRIC = False
     _lib = lib
     AVAILABLE = True
 

@@ -120,7 +120,7 @@ def _metric_entries(coeffs: np.ndarray, q_points: np.ndarray,
     """
     from mf_data_locality_tpu import native
 
-    if native.AVAILABLE:
+    if native.AVAILABLE and native.HAS_METRIC:
         return native.metric_entries(coeffs, q_points, w3)
 
     qp = q_points
@@ -222,6 +222,11 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         gm[3 * q**3:4 * q**3, nc:] = w3
         gm[5 * q**3:6 * q**3, nc:] = w3
         gmetric = jnp.asarray(gm, dtype=dtype)
+    elif metric == "deferred":
+        # caller will install the real metric (distributed slab surgery:
+        # replace_coeffs_pallas*) — skip the host-side compute, keep the
+        # correctly-shaped slot so windowing modes see a precomputed metric
+        gmetric = jnp.zeros((6 * q**3, nc_pad), dtype=dtype)
     elif metric != "onthefly":
         raise ValueError(f"unknown metric mode {metric!r}")
 

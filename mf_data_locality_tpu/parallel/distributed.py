@@ -120,16 +120,8 @@ def build_distributed(s: int, degree: int, n_devices: int | None = None,
         Slabs past the global top (non-divisible device counts) are padded
         with zero planes — dummy layers with zero mask/weight.
         """
-        out = []
-        for d in range(D):
-            sl = arr[:, d * Pp:d * Pp + Pp + 1]
-            short = Pp + 1 - sl.shape[1]
-            if short:
-                pad = np.zeros(sl.shape[:1] + (short,) + sl.shape[2:],
-                               sl.dtype)
-                sl = np.concatenate([sl, pad], axis=1)
-            out.append(sl)
-        return np.stack(out)
+        return np.stack([_pad_slice(arr, 1, d * Pp, Pp + 1)
+                         for d in range(D)])
 
     weight = np.ones((D, 1, Pp + 1, 1, 1))
     weight[1:, :, 0] = 0.0  # bottom plane of d>0 is owned by the device below
@@ -149,7 +141,7 @@ def build_distributed(s: int, degree: int, n_devices: int | None = None,
         if backend == "pallas":
             op = laplace_pallas.make_pallas_operator(
                 sl_layout, dtype=dtype, precision=precision,
-                windowing=windowing)
+                windowing=windowing, metric="deferred")
             co = _slab_cell_coeffs(layout, d, ncz_loc, dtype)
             op = replace_coeffs_pallas(op, co, mask_lat, d, Pp, dtype)
         else:
@@ -199,12 +191,7 @@ def dist_matvec_jit(dist: DistributedBP4, mesh: Mesh,
 
 def _slab_mask(mask_lat: np.ndarray, d: int, Pp: int) -> np.ndarray:
     """Padded mask slice for slab d: planes past the global top are 0."""
-    sl = mask_lat[:, d * Pp:d * Pp + Pp + 1]
-    short = Pp + 1 - sl.shape[1]
-    if short:
-        pad = np.zeros(sl.shape[:1] + (short,) + sl.shape[2:], sl.dtype)
-        sl = np.concatenate([sl, pad], axis=1)
-    return sl
+    return _pad_slice(mask_lat, 1, d * Pp, Pp + 1)
 
 
 def _slab_cell_coeffs(layout: DofLayout, d: int, ncz_loc: int, dtype):
@@ -344,7 +331,21 @@ def _sub_op(op_local, c0: int, c1: int, backend: str):
                 padg = lp.dummy_metric_columns(
                     op_local.w3.astype(gm.dtype), nc_pad - nc_sub, xp=jnp)
                 gm = jnp.concatenate([gm, padg], axis=1)
-        return drep(op_local, coeffs=co, gmetric=gm)
+        # windowing-specific operands must match the z sub-range too
+        mask_w = op_local.mask_w
+        if mask_w is not None:  # zslab: windowed mask planes for the range
+            mask_w = mask_w[:, c0 * p:c1 * p + 1]
+        wmats = op_local.wmats
+        if wmats is not None:  # matmul: shrink the z window matrix
+            wz, wy, wx = wmats
+            ncz_full = (op_local.mask.shape[1] - 1) // p
+            nsub = (c1 - c0) * p + 1
+            wz = wz.reshape(p1, ncz_full, wz.shape[1])[
+                :, c0:c1, c0 * p:c0 * p + nsub]
+            wz = wz.reshape(p1 * (c1 - c0), nsub)
+            wmats = (wz, wy, wx)
+        return drep(op_local, coeffs=co, gmetric=gm, mask_w=mask_w,
+                    wmats=wmats)
     return op_local._replace(coeffs=op_local.coeffs[c0:c1])
 
 
@@ -482,6 +483,21 @@ def _pad_slice(arr: np.ndarray, axis: int, start: int, length: int
     return out
 
 
+def _pad_dummy_cells(co: np.ndarray, target_axes: tuple[int, int, int]
+                     ) -> np.ndarray:
+    """Pad a (ncz', ncy', ncx', 8, 3) coefficient block to the target cell
+    counts with unit-geometry dummy cells (poisson_operator.h:269-280)."""
+    for ax in range(3):
+        short = target_axes[ax] - co.shape[ax]
+        if short:
+            shape = list(co.shape)
+            shape[ax] = short
+            pad = np.zeros(shape)
+            pad[..., 1, 0] = pad[..., 2, 1] = pad[..., 4, 2] = 1.0
+            co = np.concatenate([co, pad], axis=ax)
+    return co
+
+
 def build_distributed_2d(s: int, degree: int, mesh_shape: tuple[int, int],
                          dtype=jnp.float32, backend: str = "structured",
                          n_components: int = 3, devices=None,
@@ -560,27 +576,21 @@ def build_distributed_2d(s: int, degree: int, mesh_shape: tuple[int, int],
             sl_layout = DofLayout(slab_mesh, degree)
             co = co_all[dz * ncz_loc:(dz + 1) * ncz_loc,
                         dy * ncy_loc:(dy + 1) * ncy_loc]
+            # pad short z/y cell axes with unit-geometry dummies BEFORE
+            # flattening — a short y axis would otherwise misalign every
+            # z-layer's cell geometry in the flattened kernel layout
+            co = _pad_dummy_cells(co, (ncz_loc, ncy_loc, ncx))
             msk = _pad_slice(_pad_slice(mask_lat, 1, dz * Pz, Pz + 1),
                              2, dy * Py, Py + 1)
             if backend == "pallas":
                 op = laplace_pallas.make_pallas_operator(
                     sl_layout, dtype=dtype, precision=precision,
-                    windowing=windowing)
+                    windowing=windowing, metric="deferred")
                 co_k = co.reshape(-1, 8, 3).transpose(2, 1, 0)
                 op = replace_coeffs_pallas_raw(op, co_k, msk, dtype)
             else:
                 op = laplace_structured.make_structured_operator(
                     sl_layout, dtype=dtype)
-                short = ncz_loc - co.shape[0]
-                if short:
-                    pad = np.zeros((short, co.shape[1], ncx, 8, 3))
-                    pad[..., 1, 0] = pad[..., 2, 1] = pad[..., 4, 2] = 1.0
-                    co = np.concatenate([co, pad], axis=0)
-                short_y = ncy_loc - co.shape[1]
-                if short_y:
-                    pad = np.zeros((ncz_loc, short_y, ncx, 8, 3))
-                    pad[..., 1, 0] = pad[..., 2, 1] = pad[..., 4, 2] = 1.0
-                    co = np.concatenate([co, pad], axis=1)
                 co = co.reshape(ncz_loc, 1, ncy_loc, 1, ncx, 1, 8, 3)
                 op = op._replace(coeffs=jnp.asarray(co, dtype=dtype),
                                  mask=jnp.asarray(msk, dtype=dtype))
@@ -781,31 +791,14 @@ def build_distributed_3d(s: int, degree: int,
         msk = _pad_slice(_pad_slice(_pad_slice(
             mask_lat, 1, dz * Pz, Pz + 1), 2, dy * Py, Py + 1),
             3, dx * Px, Px + 1)
+        co = _pad_dummy_cells(co, tuple(loc))
         if backend == "pallas":
-            op = laplace_pallas.make_pallas_operator(sl_layout, dtype=dtype)
-            # pad short axes with unit-geometry dummies via raw install
-            short = [loc[0] - co.shape[0], loc[1] - co.shape[1],
-                     loc[2] - co.shape[2]]
-            for ax, sh in enumerate(short):
-                if sh:
-                    padshape = list(co.shape)
-                    padshape[ax] = sh
-                    pad = np.zeros(padshape)
-                    pad[..., 1, 0] = pad[..., 2, 1] = pad[..., 4, 2] = 1.0
-                    co = np.concatenate([co, pad], axis=ax)
+            op = laplace_pallas.make_pallas_operator(
+                sl_layout, dtype=dtype, metric="deferred")
             co_k = co.reshape(-1, 8, 3).transpose(2, 1, 0)
             return replace_coeffs_pallas_raw(op, co_k, msk, dtype)
         op = laplace_structured.make_structured_operator(sl_layout,
                                                          dtype=dtype)
-        short = [loc[0] - co.shape[0], loc[1] - co.shape[1],
-                 loc[2] - co.shape[2]]
-        for ax, sh in enumerate(short):
-            if sh:
-                padshape = list(co.shape)
-                padshape[ax] = sh
-                pad = np.zeros(padshape)
-                pad[..., 1, 0] = pad[..., 2, 1] = pad[..., 4, 2] = 1.0
-                co = np.concatenate([co, pad], axis=ax)
         co = co.reshape(loc[0], 1, loc[1], 1, loc[2], 1, 8, 3)
         return op._replace(coeffs=jnp.asarray(co, dtype=dtype),
                            mask=jnp.asarray(msk, dtype=dtype))

@@ -287,3 +287,36 @@ def test_distributed_pieces_nondivisible_and_overlap():
     assert int(r_over.n_iterations) == int(r1.n_iterations)
     xo = dist.gather_global(r_over.x, nz=nz).reshape(3, -1)
     assert np.abs(xo - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+
+@requires_8
+def test_distributed_2d_pallas_nondivisible_y():
+    """Regression: a short y slab must pad per-axis BEFORE flattening the
+    cell geometry (misaligned Jacobians were silently wrong)."""
+    s, p = 6, 2  # mesh (4, 4, 4): Dy=3 leaves a short y slab
+    ref = bp4.build(s, p, dtype=jnp.float64, backend="pallas")
+    r1 = bp4.solve_merged(ref, max_iter=20)
+    dp, mesh = dist.build_distributed_2d(s, p, (2, 3), dtype=jnp.float64,
+                                         backend="pallas")
+    rd = dist.solve_2d(dp, mesh, max_iter=20)
+    assert int(rd.n_iterations) == int(r1.n_iterations)
+    nn = 4 * p + 1
+    xg = dist.gather_global_2d(rd.x, nz=nn, ny=nn).reshape(3, -1)
+    x1 = np.asarray(r1.x).reshape(3, -1)
+    assert np.abs(xg - x1).max() < 1e-10 * max(np.abs(x1).max(), 1.0)
+
+
+@requires_8
+@pytest.mark.parametrize("windowing", ["zslab", "matmul"])
+def test_overlap_with_windowing_modes(windowing):
+    """Regression: overlapped sub-operators must slice the windowing
+    operands (mask_w / z window matrix) to the z sub-range."""
+    s, p, D = 9, 1, 2  # ncz = 8 -> 4 layers per device, overlap active
+    dp, mesh = dist.build_distributed(s, p, n_devices=D, dtype=jnp.float64,
+                                      backend="pallas", windowing=windowing)
+    r_plain = dist.solve(dp, mesh, solver="merged", max_iter=15)
+    r_over = dist.solve(dp, mesh, solver="merged", max_iter=15, overlap=True)
+    assert int(r_plain.n_iterations) == int(r_over.n_iterations)
+    xp_ = np.asarray(r_plain.x)
+    xo = np.asarray(r_over.x)
+    assert np.abs(xp_ - xo).max() < 1e-12 * max(np.abs(xp_).max(), 1.0)
