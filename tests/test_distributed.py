@@ -320,3 +320,16 @@ def test_overlap_with_windowing_modes(windowing):
     xp_ = np.asarray(r_plain.x)
     xo = np.asarray(r_over.x)
     assert np.abs(xp_ - xo).max() < 1e-12 * max(np.abs(xp_).max(), 1.0)
+
+
+@requires_8
+def test_distributed_bf16_storage_matches_single():
+    """bf16 operator-stream storage under the distributed solver: same
+    iteration count as the single-device bf16 run."""
+    ref = bp4.build(6, 2, dtype=jnp.bfloat16, backend="pallas")
+    r1 = bp4.solve_merged(ref, rel_tol=1e-6)
+    dp, mesh = dist.build_distributed(6, 2, n_devices=4,
+                                      dtype=jnp.bfloat16, backend="pallas")
+    rd = dist.solve(dp, mesh, solver="merged", rel_tol=1e-6)
+    assert bool(rd.converged)
+    assert int(rd.n_iterations) == int(r1.n_iterations)

@@ -147,7 +147,7 @@ def test_f32_iteration_parity_vs_f64():
         assert abs(it64 - it32) <= max(1, round(0.03 * it64)), (it64, it32)
 
 
-@pytest.mark.parametrize("p", [5, 7, 9])
+@pytest.mark.parametrize("p", [5, 7, 9, 11])
 def test_high_degree_pallas_matches_structured(p):
     """Degrees beyond the benchmark sweet spot (reference dispatch covers
     p=1..11, benchmark.h:290-313): pallas (precomputed metric) vs the
