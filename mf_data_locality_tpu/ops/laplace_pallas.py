@@ -104,6 +104,13 @@ class PallasOperatorData:
     n_cells: int = field(metadata=dict(static=True), default=0)
     precision: str = field(metadata=dict(static=True), default="highest")
     windowing: str = field(metadata=dict(static=True), default="reshape")
+    # "iota": the kernel computes the full-box Dirichlet mask from grid
+    # indices and applies it to both operands in VMEM — two whole-lattice
+    # HBM mask passes deleted per apply.  Only valid when the local lattice
+    # IS the global box (single device); the distributed slab surgery resets
+    # it to "none" and keeps external masking (slab z-extremes are halo, not
+    # Dirichlet).
+    mask_mode: str = field(metadata=dict(static=True), default="none")
 
 
 def _metric_entries(coeffs: np.ndarray, q_points: np.ndarray,
@@ -258,8 +265,11 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         co = co[:, :, :nc]
         nc_pad = nc
         mats = mats[:, _piece_perm(p)]
+        mask_mode = "iota"
     elif windowing not in ("reshape", "conv"):
         raise ValueError(f"unknown windowing mode {windowing!r}")
+    if windowing != "pieces":
+        mask_mode = "none"
     return PallasOperatorData(
         mats=jnp.asarray(mats, dtype=dtype),
         pds=jnp.asarray(pds, dtype=dtype),
@@ -273,6 +283,7 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         n_cells=nc,
         precision=precision,
         windowing=windowing,
+        mask_mode=mask_mode,
     )
 
 
@@ -625,7 +636,37 @@ def _from_piece_forms(vm, vtop, p: int, n_nodes_axis) -> jax.Array:
     return v
 
 
-def _kernel_g_pieces(precision, n_comp, p, mats_ref, g6_ref,
+def _dirichlet_mask_pieces(p: int, dims, B: int, i):
+    """Full-box Dirichlet mask in piece-row order, from iota (no HBM).
+
+    Rows are the concatenated piece rows (p^2 mm, p mp, p pm, 1 pp) with the
+    (ky, kx) mapping of :func:`_piece_perm`; columns are cells cy*ncx + cx.
+    A node is constrained iff any of its global lattice coordinates is 0 or
+    the axis maximum; per piece row that reduces to corner tests on
+    (cy, ky) / (cx, kx) plus the grid-step test on the z-plane index.
+    Returns a (p1, p1^2, B) float32 0/1 array.
+    """
+    ncz, ncy, ncx = dims
+    p1 = p + 1
+    p2 = p * p
+    rows = p1 * p1
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, B), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, B), 1)
+    cy, cx = col // ncx, col % ncx
+    in_mm = r < p2
+    in_mp = (r >= p2) & (r < p2 + p)
+    in_pm = (r >= p2 + p) & (r < p2 + 2 * p)
+    ky = jnp.where(in_mm, r // p, jnp.where(in_mp, r - p2, p))
+    kx = jnp.where(in_mm, r % p, jnp.where(in_pm, r - p2 - p, p))
+    ybad = ((cy == 0) & (ky == 0)) | ((cy == ncy - 1) & (ky == p))
+    xbad = ((cx == 0) & (kx == 0)) | ((cx == ncx - 1) & (kx == p))
+    kz = jax.lax.broadcasted_iota(jnp.int32, (p1, 1), 0)
+    zbad = ((i == 0) & (kz == 0)) | ((i == ncz - 1) & (kz == p))
+    ok = (~(ybad | xbad))[None, :, :] & (~zbad)[:, :, None]
+    return ok.astype(jnp.float32)
+
+
+def _kernel_g_pieces(precision, n_comp, p, mask_dims, mats_ref, g6_ref,
                      mm_m, mm_p, mp_m, mp_p, pm_m, pm_p, pp_m, pp_p,
                      out_mm, out_mp, out_pm, out_pp, out_top, carry_ref):
     """Corner-piece z-layer kernel: in-VMEM assembly, carry-plane scatter.
@@ -633,7 +674,9 @@ def _kernel_g_pieces(precision, n_comp, p, mats_ref, g6_ref,
     The four y/x corner pieces arrive separately (each with its own dual
     z-BlockSpecs for the overlapping +1 plane); rows are concatenated in
     VMEM and contracted against the column-PERMUTED dense matrices
-    (:func:`_piece_perm`), so no interleaving shuffle ever happens.
+    (:func:`_piece_perm`), so no interleaving shuffle ever happens.  With
+    ``mask_dims`` set, the Dirichlet mask is computed from iota and applied
+    to input and output in VMEM (:func:`_dirichlet_mask_pieces`).
     """
     p1 = p + 1
     p13 = mats_ref.shape[1]
@@ -642,10 +685,16 @@ def _kernel_g_pieces(precision, n_comp, p, mats_ref, g6_ref,
     p2 = p * p
     i = pl.program_id(0)
 
+    mask = None
+    if mask_dims is not None:
+        mask = _dirichlet_mask_pieces(p, mask_dims, B, i)
+
     planes = [jnp.concatenate([a[:], b[:]], axis=1)
               for a, b in ((mm_m, mm_p), (mp_m, mp_p),
                            (pm_m, pm_p), (pp_m, pp_p))]
     u = jnp.concatenate(planes, axis=2)  # (C, p1, p1^2, B)
+    if mask is not None:
+        u = u * mask[None].astype(u.dtype)
     u = u.reshape(n_comp * p13, B)
 
     m = mats_ref[:]
@@ -665,6 +714,8 @@ def _kernel_g_pieces(precision, n_comp, p, mats_ref, g6_ref,
         vs.append(_mm(m, jnp.concatenate([t0, t1, t2], axis=0),
                       precision, dims=dn_t))
     v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
+    if mask is not None:
+        v = v * mask[None]
 
     first = v[:, :1] + jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
     # p == 1: the "middle planes" slice is empty — Mosaic rejects
@@ -696,6 +747,8 @@ def apply_lattice_pieces(op: PallasOperatorData, u: jax.Array,
     p2 = p * p
 
     mm, mp, pm, pp = _to_piece_forms(u, p)
+    mask_dims = ((ncz, (ny - 1) // p, (nx - 1) // p)
+                 if op.mask_mode == "iota" else None)
 
     def specs_for(rows):
         return [
@@ -707,7 +760,8 @@ def apply_lattice_pieces(op: PallasOperatorData, u: jax.Array,
         ]
 
     outs = pl.pallas_call(
-        functools.partial(_kernel_g_pieces, op.precision, n_comp, p),
+        functools.partial(_kernel_g_pieces, op.precision, n_comp, p,
+                          mask_dims),
         grid=(ncz,),
         in_specs=[
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
@@ -991,6 +1045,9 @@ def vmult(op: PallasOperatorData, u: jax.Array,
     if op.windowing == "zslab":
         # both mask applications happen inside the kernel (windowed mask)
         v = apply_lattice_zslab(op, u, interpret=interpret)
+    elif op.windowing == "pieces" and op.mask_mode == "iota":
+        # both mask applications happen inside the kernel (iota mask)
+        v = apply_lattice_pieces(op, u, interpret=interpret)
     else:
         v = apply_lattice(op, u * op.mask, interpret=interpret) * op.mask
     if constrained_identity:

@@ -234,7 +234,7 @@ def replace_coeffs_pallas(op, co, mask_lat, d, Pp, dtype):
         mask_w = laplace_pallas._to_zslab_form(mask_j, p1 - 1)
     return replace(op, coeffs=jnp.asarray(full, dtype=dtype),
                    gmetric=gmetric, mask_w=mask_w,
-                   mask=mask_j)
+                   mask=mask_j, mask_mode="none")
 
 
 def replace_coeffs_structured(op, layout, d, ncz_loc, mask_lat, Pp, dtype):
@@ -636,7 +636,8 @@ def replace_coeffs_pallas_raw(op, co, msk, dtype):
         p1 = round(op.mats.shape[1] ** (1 / 3))
         mask_w = laplace_pallas._to_zslab_form(mask_j, p1 - 1)
     return replace(op, coeffs=jnp.asarray(full, dtype=dtype),
-                   gmetric=gmetric, mask_w=mask_w, mask=mask_j)
+                   gmetric=gmetric, mask_w=mask_w, mask=mask_j,
+                   mask_mode="none")
 
 
 def dist_vmult_2d(op_local, u: jax.Array, mesh_shape, backend: str,
