@@ -65,7 +65,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     from functools import partial
 
     from mf_data_locality_tpu.models.bp4 import _VMULT
-    from mf_data_locality_tpu.solvers import cg, cg_merged
+    from mf_data_locality_tpu.solvers import cg, cg_fused, cg_merged
 
     import time as _time
 
@@ -86,9 +86,18 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     lat = ((problem.n_components,) + problem.layout.n_nodes_axis
            if backend != "general" else None)
 
+    if solver == "fused" and not (backend == "pallas" and windowing == "pieces"):
+        raise ValueError("--solver fused requires --backend pallas "
+                         "--windowing pieces")
+
     # operator data passed as jit arguments, not baked-in constants
     @jax.jit
     def solve_jit(op, inv_diag, b):
+        if solver == "fused":
+            lataxis = problem.layout.n_nodes_axis
+            return cg_fused.fused_merged_cg_solve(
+                op, lataxis, b.reshape((problem.n_components,) + lataxis),
+                inv_diag.reshape((1,) + lataxis))
         raw = partial(vmult_fn, op, constrained_identity=(solver == "baseline"))
         a = raw if lat is None else (lambda u: raw(u.reshape(lat)).reshape(u.shape))
         if solver == "merged":
@@ -190,7 +199,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("s", type=int, nargs="?", default=-1,
                     help="mesh size exponent (2^s cells); <1 runs the ladder")
     ap.add_argument("compact", type=int, nargs="?", default=1)
-    ap.add_argument("--solver", choices=["merged", "baseline"], default="merged")
+    ap.add_argument("--solver", choices=["merged", "baseline", "fused"],
+                    default="merged",
+                    help="fused = whole-iteration Pallas kernel "
+                         "(requires --backend pallas --windowing pieces)")
     ap.add_argument("--dtype", choices=list(DTYPES), default="f32")
     ap.add_argument("--backend", choices=["pallas", "structured", "general"],
                     default="pallas")

@@ -1,0 +1,322 @@
+"""Whole-iteration fused CG Pallas kernel with piece-resident state.
+
+This is the TPU-native analog of the reference's single-sweep merged CG
+iteration: the reference threads the vector updates (``do_cg_update4b``) and
+the seven fused dot products (``do_cg_update3b``) through the matrix-free
+operator's cell loop as pre/post range callbacks
+(``poisson_operator.h:327-377``, ``solver_cg_optimized.h:65-161``), so every
+solution vector is touched exactly once per iteration.  Here the same
+single-pass property is achieved by keeping the CG state vectors x, g, d, h
+**permanently in corner-piece form** — the operator's native windowed layout
+(see :func:`laplace_pallas._to_piece_forms`) — and running one z-sweeping
+Pallas kernel per iteration that performs, per cell layer:
+
+  1. ``update4b``: x' = x + c1 d + aob P g;  g' = g + alpha h;
+     d' = beta d - P g'   (the delayed-x form, predicated via c1/aob);
+  2. the BP4 operator apply on d' (dense MXU contractions + precomputed
+     metric), with the Dirichlet mask computed from iota;
+  3. in-VMEM y/x piece-consistency (lane rolls) and the z carry-plane
+     overlap-add, so the output h is a *consistent* piece-form vector;
+  4. the seven partial dot products of ``update3b``, accumulated in a VMEM
+     scratch across layers.
+
+Why no multiplicity weights for the dots: every non-boundary lattice node
+has exactly one representation among the mm-piece rows (r < p^2) — nodes
+with y or x a multiple of p appear there with ky = 0 / kx = 0 — so reducing
+over mm rows counts each global DoF exactly once.  Boundary nodes are
+masked to zero and contribute nothing.
+
+Why state vectors need no top-plane storage: the global top z-plane
+(z = Nz-1) is entirely Dirichlet-constrained, so x, g, d, h vanish there
+for the whole solve; the kernel substitutes zeros for the +1 plane of the
+last layer and the final lattice assembly appends a zero plane.
+
+Per-iteration HBM traffic: read x, g, d, h, P (+ (p+1)/p re-read of the
+overlap plane) + metric; write x', g', d', h — ~9 piece-words/DoF + metric,
+the reference's single-sweep traffic model (BASELINE.md), with zero
+windowing-wrapper traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mf_data_locality_tpu.ops.laplace_pallas import (
+    PallasOperatorData,
+    _dirichlet_mask_pieces,
+    _mm,
+    _to_piece_forms,
+    _from_piece_forms,
+)
+
+
+def to_piece_state(u: jax.Array, p: int) -> jax.Array:
+    """(C, Nz, Ny, Nx) lattice -> (C, ncz*p, p1^2, B) piece-state.
+
+    Concatenates the four corner pieces along the row axis in the kernel's
+    row order (mm, mp, pm, pp; see ``_piece_perm``) and drops the global top
+    z-plane (all Dirichlet -> zero by invariant).
+    """
+    mm, mp_, pm, pp = _to_piece_forms(u, p)
+    full = jnp.concatenate([mm, mp_, pm, pp], axis=2)  # (C, Nz, R, B)
+    nz = full.shape[1]
+    return full[:, : nz - 1]
+
+
+def from_piece_state(v: jax.Array, p: int, n_nodes_axis) -> jax.Array:
+    """(C, ncz*p, p1^2, B) consistent piece-state -> (C, Nz, Ny, Nx) lattice.
+
+    The piece-state is consistent (duplicate copies equal), so assembly
+    reads the owner copies instead of overlap-adding: the mm rows cover all
+    nodes except the y/x maxima, which are taken from the mp/pm/pp rows of
+    the last cell row/column; the top z-plane is zero by invariant.
+    """
+    nz, ny, nx = n_nodes_axis
+    ncy, ncx = (ny - 1) // p, (nx - 1) // p
+    c = v.shape[0]
+    nzm = v.shape[1]
+    p2 = p * p
+    # mm rows -> nodes (cy*p+ky, cx*p+kx), ky, kx < p
+    mm = v[:, :, :p2].reshape(c, nzm, p, p, ncy, ncx)
+    mm = mm.transpose(0, 1, 4, 2, 5, 3).reshape(c, nzm, ncy * p, ncx * p)
+    # mp rows, last cell column -> nodes (cy*p+ky, ncx*p)
+    mp_ = v[:, :, p2:p2 + p].reshape(c, nzm, p, ncy, ncx)[..., ncx - 1]
+    mp_ = mp_.transpose(0, 1, 3, 2).reshape(c, nzm, ncy * p, 1)
+    top_rows = jnp.concatenate([mm, mp_], axis=3)  # (C, nzm, ncy*p, Nx)
+    # pm rows, last cell row -> nodes (ncy*p, cx*p+kx)
+    pm = v[:, :, p2 + p:p2 + 2 * p].reshape(c, nzm, p, ncy, ncx)[:, :, :, ncy - 1]
+    pm = pm.transpose(0, 1, 3, 2).reshape(c, nzm, 1, ncx * p)
+    pp = v[:, :, p2 + 2 * p:].reshape(c, nzm, ncy, ncx)[:, :, ncy - 1:, ncx - 1:]
+    bot = jnp.concatenate([pm, pp], axis=3)  # (C, nzm, 1, Nx)
+    lat = jnp.concatenate([top_rows, bot], axis=2)  # (C, nzm, Ny, Nx)
+    topz = jnp.zeros((c, 1, ny, nx), lat.dtype)
+    return jnp.concatenate([lat, topz], axis=1)
+
+
+def assemble_from_partial(vm: jax.Array, p: int, n_nodes_axis) -> jax.Array:
+    """Overlap-add assembly of a NON-consistent piece-state (testing aid)."""
+    nz, _, _ = n_nodes_axis
+    p2 = p * p
+    c = vm.shape[0]
+    B = vm.shape[3]
+    parts = (vm[:, :, :p2], vm[:, :, p2:p2 + p],
+             vm[:, :, p2 + p:p2 + 2 * p], vm[:, :, p2 + 2 * p:])
+    vtop = jnp.zeros((c, 1, (p + 1) * (p + 1), B), vm.dtype)
+    return _from_piece_forms(parts, vtop, p, n_nodes_axis)
+
+
+def _consistency_rows(p: int):
+    """Static row-index lists for the y/x piece-consistency phases."""
+    p2 = p * p
+    x0 = [ky * p for ky in range(p)] + [p2 + p]          # kx = 0 copies
+    xp = [p2 + ky for ky in range(p)] + [p2 + 2 * p]     # kx = p copies
+    y0 = [kx for kx in range(p)] + [p2]                  # ky = 0 copies
+    yp = [p2 + p + kx for kx in range(p)] + [p2 + 2 * p]  # ky = p copies
+    return x0, xp, y0, yp
+
+
+def _make_consistent(v: jax.Array, p: int, ncx: int) -> jax.Array:
+    """Sum duplicate piece copies of shared y/x nodes and redistribute.
+
+    v: (C, P1z, R, B) masked partial output.  The kx = p copy of cell
+    (cy, cx) and the kx = 0 copy of cell (cy, cx+1) describe the same node
+    x = (cx+1)p; lane-rolling by 1 aligns them (columns are cy*ncx + cx).
+    Roll wraparound crosses cell rows only at global box faces, where the
+    Dirichlet mask has zeroed both copies — so no edge handling is needed.
+    The y phase is identical with roll distance ncx, run on the x-consistent
+    values so 4-way corner copies receive the full sum (dimension splitting,
+    like a 2D halo exchange).
+    """
+    R = v.shape[2]
+    x0, xp, y0, yp = _consistency_rows(p)
+    rows = [v[:, :, r:r + 1, :] for r in range(R)]
+
+    for src0, srcp, dist in ((x0, xp, 1), (y0, yp, ncx)):
+        r0 = jnp.concatenate([rows[r] for r in src0], axis=2)
+        rp = jnp.concatenate([rows[r] for r in srcp], axis=2)
+        s = rp + jnp.roll(r0, -dist, axis=3)
+        s0 = jnp.roll(s, dist, axis=3)
+        for k, r in enumerate(srcp):
+            rows[r] = s[:, :, k:k + 1, :]
+        for k, r in enumerate(src0):
+            rows[r] = s0[:, :, k:k + 1, :]
+    return jnp.concatenate(rows, axis=2)
+
+
+def _fused_cg_kernel(precision, n_comp, p, dims, acc, store,
+                     mats_ref, g6_ref, scal_ref,
+                     pm_ref, pp_ref,
+                     x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
+                     x2_ref, g2_ref, d2_ref, h2_ref, dots_ref,
+                     carry_ref, dacc_ref):
+    """One z-cell-layer of the fused CG iteration (see module docstring)."""
+    ncz, ncy, ncx = dims
+    p1 = p + 1
+    p2 = p * p
+    p13 = mats_ref.shape[1]
+    q3 = g6_ref.shape[0] // 6
+    B = x_ref.shape[3]
+    i = pl.program_id(0)
+    last = i == ncz - 1
+
+    del ncy  # geometry comes via the mask helper
+
+    alpha = scal_ref[0]
+    beta = scal_ref[1]
+    c1 = scal_ref[2]
+    aob = scal_ref[3]
+
+    mask = _dirichlet_mask_pieces(p, dims, B, i).astype(acc)  # (p1, R, B)
+
+    def full(main_ref, plus_ref):
+        plus = jnp.where(last, 0.0, plus_ref[:].astype(acc))
+        return jnp.concatenate([main_ref[:].astype(acc), plus], axis=1)
+
+    g_f = full(g_ref, gp_ref)        # (C, p1, R, B)
+    d_f = full(d_ref, dp_ref)
+    h_f = full(h_ref, hp_ref)
+    P_f = full(pm_ref, pp_ref)       # (1, p1, R, B)
+
+    # -- update4b (pre-sweep callback): delayed-x + g,d recurrences --------
+    x2 = x_ref[:].astype(acc) + c1 * d_f[:, :p] + aob * (P_f[:, :p] * g_f[:, :p])
+    g2 = g_f + alpha * h_f
+    d2 = beta * d_f - P_f * g2
+    x2_ref[:] = x2.astype(x2_ref.dtype)
+    g2_ref[:] = g2[:, :p].astype(g2_ref.dtype)
+    d2s = d2.astype(store)
+    d2_ref[:] = d2s[:, :p]
+
+    # -- operator apply on d' ----------------------------------------------
+    u = d2s.reshape(n_comp * p13, B)
+    m = mats_ref[:]
+    g6 = g6_ref[:].reshape(6 * q3, B)
+    g00, g01, g02 = g6[:q3], g6[q3:2 * q3], g6[2 * q3:3 * q3]
+    g11, g12, g22 = g6[3 * q3:4 * q3], g6[4 * q3:5 * q3], g6[5 * q3:]
+    dn_t = (((0,), (0,)), ((), ()))
+    vs = []
+    for c in range(n_comp):
+        u_c = u[c * p13:(c + 1) * p13, :]
+        gr = _mm(m, u_c, precision).reshape(3, q3, B)
+        t0 = g00 * gr[0] + g01 * gr[1] + g02 * gr[2]
+        t1 = g01 * gr[0] + g11 * gr[1] + g12 * gr[2]
+        t2 = g02 * gr[0] + g12 * gr[1] + g22 * gr[2]
+        vs.append(_mm(m, jnp.concatenate([t0, t1, t2], axis=0),
+                      precision, dims=dn_t))
+    v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
+    v = v * mask[None]
+
+    # -- post-sweep: piece consistency, z carry, h write --------------------
+    v = _make_consistent(v, p, ncx)
+    first = v[:, :1] + jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
+    vmain = (first if p == 1
+             else jnp.concatenate([first, v[:, 1:p]], axis=1))
+    carry_ref[:] = v[:, p]
+    h2_ref[:] = vmain.astype(h2_ref.dtype)
+
+    # -- update3b partial dots over the owner (mm) rows ---------------------
+    hm = h2_ref[:][:, :, :p2].astype(acc)       # stored-precision h
+    gm = g2[:, :p, :p2]
+    dm = d2s[:, :p, :p2].astype(acc)            # stored-precision d
+    Pm = P_f[:, :p, :p2]
+    ph = Pm * hm
+    pg = Pm * gm
+
+    def red(a, b_):
+        return jnp.sum(a * b_, axis=(0, 1, 2))   # (B,)
+
+    part = jnp.stack([
+        red(dm, hm), red(hm, hm), red(gm, hm), red(gm, gm),
+        red(gm, ph), red(hm, ph), red(gm, pg),
+        jnp.zeros((B,), acc),
+    ])
+    acc_prev = jnp.where(i > 0, dacc_ref[:], 0.0)
+    total = acc_prev + part
+    dacc_ref[:] = total
+    dots_ref[:] = total.astype(dots_ref.dtype)
+
+
+def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
+                       x, g, d, h, scal,
+                       prec_pieces: jax.Array,
+                       interpret: bool | None = None):
+    """Run one fused CG iteration; returns (x', g', d', h', sums7).
+
+    ``x, g, d, h``: piece-state arrays (C, ncz*p, p1^2, B); x, g at the
+    accumulation dtype, d, h at the storage dtype.  ``scal``: (4,) array
+    (alpha, beta, c1, aob).  ``prec_pieces``: (1, ncz*p, p1^2, B).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p1 = round(op.mats.shape[1] ** (1 / 3))
+    p = p1 - 1
+    nz, ny, nx = n_nodes_axis
+    ncz, ncy, ncx = (nz - 1) // p, (ny - 1) // p, (nx - 1) // p
+    B = ncy * ncx
+    R = p1 * p1
+    q3 = op.w3.shape[0]
+    p13 = op.mats.shape[1]
+    n_comp = x.shape[0]
+    acc = x.dtype
+    store = d.dtype
+    nzm = ncz * p
+
+    def main_spec(c):
+        return pl.BlockSpec((c, p, R, B), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def plus_spec(c):
+        # the +1 plane; clamped at the last layer (kernel substitutes zeros)
+        return pl.BlockSpec(
+            (c, 1, R, B),
+            lambda i: (0, jnp.minimum(i * p + p, nzm - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_fused_cg_kernel, op.precision, n_comp, p,
+                          (ncz, ncy, ncx), acc, store),
+        grid=(ncz,),
+        in_specs=[
+            pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # 3D metric (6q^3, ncz, B): lane-dim block equals the array dim
+            # (Mosaic divisible-or-full constraint; B < 128 for s < 10)
+            pl.BlockSpec((6 * q3, 1, B), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            main_spec(1), plus_spec(1),
+            main_spec(n_comp),                 # x (no plus plane needed)
+            main_spec(n_comp), plus_spec(n_comp),   # g
+            main_spec(n_comp), plus_spec(n_comp),   # d
+            main_spec(n_comp), plus_spec(n_comp),   # h
+        ],
+        out_specs=[
+            main_spec(n_comp),                 # x'
+            main_spec(n_comp),                 # g'
+            main_spec(n_comp),                 # d'
+            main_spec(n_comp),                 # h'
+            pl.BlockSpec((8, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_comp, nzm, R, B), acc),
+            jax.ShapeDtypeStruct((n_comp, nzm, R, B), acc),
+            jax.ShapeDtypeStruct((n_comp, nzm, R, B), store),
+            jax.ShapeDtypeStruct((n_comp, nzm, R, B), store),
+            jax.ShapeDtypeStruct((8, B), acc),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_comp, R, B), acc),
+            pltpu.VMEM((8, B), acc),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(op.mats, op.gmetric.reshape(6 * q3, ncz, B), scal,
+      prec_pieces, prec_pieces, x, g, g, d, d, h, h)
+    x2, g2, d2, h2, dots = outs
+    return x2, g2, d2, h2, jnp.sum(dots[:7], axis=1)

@@ -448,7 +448,7 @@ def _kernel_g_zslab(precision, n_comp, mats_ref, g6_ref, um_ref, up_ref,
     u = u.reshape(n_comp * p13, B)
 
     m = mats_ref[:]
-    g6 = g6_ref[:]
+    g6 = g6_ref[:].reshape(6 * q3, B)
     g00, g01, g02 = g6[:q3], g6[q3:2 * q3], g6[2 * q3:3 * q3]
     g11, g12, g22 = g6[3 * q3:4 * q3], g6[4 * q3:5 * q3], g6[5 * q3:]
     dn_t = (((0,), (0,)), ((), ()))
@@ -518,7 +518,10 @@ def apply_lattice_zslab(op: PallasOperatorData, u: jax.Array,
         in_specs=[
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6 * q3, B), lambda i: (0, i),
+            # 3D metric (6q^3, ncz, B): the lane-dim block equals the array
+            # dim, satisfying the Mosaic divisible-or-full constraint for
+            # every mesh size (B < 128 occurs for s < 10)
+            pl.BlockSpec((6 * q3, 1, B), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_comp, p, p1 * p1, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -546,7 +549,8 @@ def apply_lattice_zslab(op: PallasOperatorData, u: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(op.mats, op.gmetric, t, t, op.mask_w, op.mask_w)
+    )(op.mats, op.gmetric.reshape(6 * q3, ncz, B), t, t,
+      op.mask_w, op.mask_w)
 
     v = jnp.concatenate([out_main, out_top], axis=1)  # (C, Nz, p1^2, B)
     return _from_zslab_form(v, p, (nz, ny, nx))
@@ -698,7 +702,7 @@ def _kernel_g_pieces(precision, n_comp, p, mask_dims, mats_ref, g6_ref,
     u = u.reshape(n_comp * p13, B)
 
     m = mats_ref[:]
-    g6 = g6_ref[:]
+    g6 = g6_ref[:].reshape(6 * q3, B)
     g00, g01, g02 = g6[:q3], g6[q3:2 * q3], g6[2 * q3:3 * q3]
     g11, g12, g22 = g6[3 * q3:4 * q3], g6[4 * q3:5 * q3], g6[5 * q3:]
     dn_t = (((0,), (0,)), ((), ()))
@@ -766,7 +770,8 @@ def apply_lattice_pieces(op: PallasOperatorData, u: jax.Array,
         in_specs=[
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6 * q3, B), lambda i: (0, i),
+            # 3D metric: lane-dim block == array dim (see zslab note)
+            pl.BlockSpec((6 * q3, 1, B), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             *specs_for(p2), *specs_for(p), *specs_for(p), *specs_for(1),
         ],
@@ -795,7 +800,8 @@ def apply_lattice_pieces(op: PallasOperatorData, u: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(op.mats, op.gmetric, mm, mm, mp, mp, pm, pm, pp, pp)
+    )(op.mats, op.gmetric.reshape(6 * q3, ncz, B),
+      mm, mm, mp, mp, pm, pm, pp, pp)
 
     return _from_piece_forms(outs[:4], outs[4], p, (nz, ny, nx))
 

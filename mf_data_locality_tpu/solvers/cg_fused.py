@@ -1,0 +1,111 @@
+"""Merged CG driven by the whole-iteration fused Pallas kernel.
+
+Same recurrence as :mod:`cg_merged` (``solver_cg_optimized.h:190-302``), but
+each iteration is ONE pallas_call (:mod:`ops.cg_fused_kernel`): vector
+updates, operator sweep, piece consistency and the seven partial dots all
+happen in a single pass over the piece-resident state — the reference's
+single-sweep-per-iteration property realized in VMEM instead of via
+pre/post range callbacks.
+
+Entry point :func:`fused_merged_cg_solve` accepts/returns lattice-form
+vectors; the piece-state round trips happen once at entry/exit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mf_data_locality_tpu.ops import cg_fused_kernel as fk
+from mf_data_locality_tpu.ops.laplace_pallas import PallasOperatorData
+from mf_data_locality_tpu.solvers.cg import SolveResult
+
+
+def fused_merged_cg_solve(
+    op: PallasOperatorData,
+    n_nodes_axis,
+    b: jax.Array,
+    prec: jax.Array,
+    x0: jax.Array | None = None,
+    max_iter: int = 100,
+    abs_tol: float = 1e-15,
+    rel_tol: float = 1e-8,
+    interpret: bool | None = None,
+) -> SolveResult:
+    """Solve A x = b (lattice vectors (C, Nz, Ny, Nx)) with the fused kernel.
+
+    ``prec``: (C or 1, Nz, Ny, Nx) lattice preconditioner diagonal.
+    ``x0``: handled by shifting to the residual equation A dx = b - A x0
+    (identical residual history; one extra operator apply at entry).
+    """
+    p1 = round(op.mats.shape[1] ** (1 / 3))
+    p = p1 - 1
+    dtype = b.dtype
+    acc = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    zero = jnp.zeros((), acc)
+
+    b_eff = b
+    if x0 is not None:
+        from mf_data_locality_tpu.ops import laplace_pallas as lp
+
+        b_eff = b - lp.vmult(op, x0.astype(dtype),
+                             constrained_identity=False,
+                             interpret=interpret).astype(dtype)
+
+    # blocked-diagonal preconditioner: one scalar per node shared across
+    # components (diagonal_matrix_blocked.h:8-36) -> (1, Nz, Ny, Nx)
+    prec_pieces = fk.to_piece_state(prec[:1].astype(acc), p)
+
+    g0 = fk.to_piece_state(-b_eff.astype(acc), p)
+    # ||g0||^2 over owner rows (each global DoF exactly once; boundary rows
+    # are zero by construction)
+    p2 = p * p
+    res0 = jnp.sqrt(jnp.sum(g0[:, :, :p2].astype(acc) ** 2))
+    tol = jnp.maximum(jnp.asarray(abs_tol, acc), rel_tol * res0)
+    history = jnp.full((max_iter + 1,), jnp.nan, dtype=acc).at[0].set(res0)
+
+    x_st = jnp.zeros_like(g0)
+    d_st = jnp.zeros(g0.shape, dtype)
+    h_st = jnp.zeros(g0.shape, dtype)
+
+    def cond(state):
+        it, res = state[8], state[9]
+        return (res > tol) & (it < max_iter)
+
+    def body(state):
+        x, g, d, h, alpha, beta, alpha_old, beta_old, it, _, hist = state
+        it = it + 1
+        alpha_old_eff = jnp.where(it % 2 == 1, alpha_old, zero)
+        safe_b = jnp.where(beta_old == 0, 1.0, beta_old)
+        is_pay = alpha_old_eff != 0
+        aob = jnp.where(is_pay, alpha_old_eff / safe_b, zero)
+        c1 = jnp.where(is_pay, alpha + aob, zero)
+        scal = jnp.stack([alpha, beta, c1, aob])
+        x, g, d, h, s = fk.fused_cg_iteration(
+            op, n_nodes_axis, x, g, d, h, scal, prec_pieces,
+            interpret=interpret)
+        alpha_old, beta_old = alpha, beta
+        alpha = s[6] / s[0]
+        res = jnp.sqrt(jnp.maximum(
+            s[3] + 2 * alpha * s[2] + alpha ** 2 * s[1], 0.0))
+        beta = alpha * (s[4] + alpha * s[5]) / s[6]
+        return (x, g, d, h, alpha, beta, alpha_old, beta_old, it, res,
+                hist.at[it].set(res))
+
+    state = (x_st, g0, d_st, h_st, zero, zero, zero, zero,
+             jnp.asarray(0, jnp.int32), res0, history)
+    x, g, d, h, alpha, beta, alpha_old, beta_old, it, res, history = (
+        jax.lax.while_loop(cond, body, state))
+
+    # delayed-x exit fixup (solver_cg_optimized.h:254-289)
+    safe_beta_old = jnp.where(beta_old == 0, 1.0, beta_old)
+    da = d.astype(acc)
+    x_odd = x + alpha * da
+    x_even = (x + (alpha + alpha_old / safe_beta_old) * da
+              + (alpha_old / safe_beta_old) * (prec_pieces * g))
+    x = jnp.where(it == 0, x, jnp.where(it % 2 == 1, x_odd, x_even))
+
+    x_lat = fk.from_piece_state(x, p, n_nodes_axis)
+    if x0 is not None:
+        x_lat = x_lat + x0.astype(acc)
+    return SolveResult(x_lat, it, res, history, res <= tol)

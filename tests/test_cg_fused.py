@@ -1,0 +1,124 @@
+"""Fused whole-iteration CG kernel: parity with the merged solver.
+
+The fused path must reproduce the merged recurrence exactly
+(``solver_cg_optimized.h:190-302``): identical iteration counts, matching
+residual histories, matching solutions.  Run in f64 interpret mode so the
+comparison is at full precision.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mf_data_locality_tpu.models import bp4
+from mf_data_locality_tpu.ops import cg_fused_kernel as fk
+from mf_data_locality_tpu.solvers import cg_fused, cg_merged
+
+
+def _setup(s, p, dtype=jnp.float64, precision="highest"):
+    problem = bp4.build(s, p, dtype=dtype, backend="pallas",
+                        precision=precision, windowing="pieces")
+    lataxis = problem.layout.n_nodes_axis
+    b_lat = problem.b.reshape((3,) + lataxis)
+    prec_lat = problem.inv_diag.reshape((1,) + lataxis)
+    return problem, lataxis, b_lat, prec_lat
+
+
+@pytest.mark.parametrize("s,p", [(5, 1), (6, 2), (6, 3)])
+def test_piece_state_roundtrip(s, p):
+    problem, lataxis, _, _ = _setup(s, p)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((3,) + lataxis))
+    u = u * problem.op.mask  # boundary-zero invariant of the solver state
+    st = fk.to_piece_state(u, p)
+    u2 = fk.from_piece_state(st, p, lataxis)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-14)
+
+
+@pytest.mark.parametrize("s,p", [(5, 1), (6, 2), (6, 3)])
+def test_fused_matches_merged_f64(s, p):
+    problem, lataxis, b_lat, prec_lat = _setup(s, p)
+    ref = cg_merged.merged_cg_solve(problem.a_apply, problem.b,
+                                    problem.inv_diag)
+    res = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat, prec_lat)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    n = int(ref.n_iterations) + 1
+    hr = np.asarray(ref.res_history)[:n]
+    hf = np.asarray(res.res_history)[:n]
+    np.testing.assert_allclose(hf, hr, rtol=1e-8)
+    xr = np.asarray(ref.x).reshape(3, -1)
+    xf = np.asarray(res.x).reshape(3, -1)
+    np.testing.assert_allclose(xf, xr, atol=1e-10 * max(1.0, np.abs(xr).max()))
+
+
+def test_fused_x0_start():
+    problem, lataxis, b_lat, prec_lat = _setup(6, 2)
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.standard_normal(b_lat.shape)) * problem.op.mask
+    ref = cg_merged.merged_cg_solve(problem.a_apply, problem.b,
+                                    problem.inv_diag,
+                                    x0=x0.reshape(problem.b.shape))
+    res = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat, prec_lat,
+                                         x0=x0)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    xr = np.asarray(ref.x).reshape(3, -1)
+    xf = np.asarray(res.x).reshape(3, -1)
+    np.testing.assert_allclose(xf, xr, atol=1e-9 * max(1.0, np.abs(xr).max()))
+
+
+def test_fused_bf16_storage_converges():
+    """bf16 d/h storage with f32 recurrence: same contract as merged bf16."""
+    p32, lataxis, b32, prec32 = _setup(6, 2, dtype=jnp.float32)
+    res32 = cg_fused.fused_merged_cg_solve(p32.op, lataxis, b32, prec32)
+    p16, _, b16, prec16 = _setup(6, 2, dtype=jnp.bfloat16)
+    res16 = cg_fused.fused_merged_cg_solve(p16.op, lataxis, b16, prec16)
+    assert bool(res16.converged)
+    assert abs(int(res16.n_iterations) - int(res32.n_iterations)) <= 6
+
+
+def test_consistency_matches_overlap_add():
+    """_make_consistent == overlap-add assembly then re-window (per layer)."""
+    p, ncy, ncx = 2, 4, 4
+    p1 = p + 1
+    R = p1 * p1
+    B = ncy * ncx
+    ny, nx = ncy * p + 1, ncx * p + 1
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((2, p1, R, B))
+    # zero the global-face copies (the kernel masks before consistency)
+    from mf_data_locality_tpu.ops.laplace_pallas import _dirichlet_mask_pieces
+    mask = np.asarray(jax.jit(
+        lambda: _dirichlet_mask_pieces(p, (10**9, ncy, ncx), B,
+                                       jnp.asarray(5)))())
+    v = v * mask[None]
+    out = np.asarray(jax.jit(
+        lambda a: fk._make_consistent(a, p, ncx))(jnp.asarray(v)))
+    # reference: assemble each z-row by overlap-add, then re-extract copies
+    p2 = p * p
+    for kz in range(p1):
+        lat = np.zeros((2, ny, nx))
+        idx = {}
+        for r in range(R):
+            if r < p2:
+                ky, kx = r // p, r % p
+            elif r < p2 + p:
+                ky, kx = r - p2, p
+            elif r < p2 + 2 * p:
+                ky, kx = p, r - p2 - p
+            else:
+                ky, kx = p, p
+            idx[r] = (ky, kx)
+        for r in range(R):
+            ky, kx = idx[r]
+            for cy in range(ncy):
+                for cx in range(ncx):
+                    lat[:, cy * p + ky, cx * p + kx] += v[:, kz, r, cy * ncx + cx]
+        for r in range(R):
+            ky, kx = idx[r]
+            for cy in range(ncy):
+                for cx in range(ncx):
+                    np.testing.assert_allclose(
+                        out[:, kz, r, cy * ncx + cx],
+                        lat[:, cy * p + ky, cx * p + kx],
+                        atol=1e-12, err_msg=f"kz={kz} r={r} cy={cy} cx={cx}")
