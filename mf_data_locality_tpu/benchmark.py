@@ -59,6 +59,7 @@ class RunResult:
 def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             backend: str = "structured", verbose: bool = False,
             precision: str = "highest", windowing: str = "reshape",
+            metric_dtype=None,
             solve_repeats: int = 4, matvec_repeats: int = 2,
             matvec_inner: int = 50) -> RunResult:
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``)."""
@@ -71,7 +72,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
 
     setup_t0 = _time.perf_counter()
     problem = bp4.build(s, degree, dtype=dtype, backend=backend,
-                        precision=precision, windowing=windowing)
+                        precision=precision, windowing=windowing,
+                        metric_dtype=metric_dtype)
     vmult_fn = _VMULT[backend]
     if verbose:
         # reference verbose mode: diagonal norm + setup time
@@ -215,6 +217,8 @@ def main(argv: list[str] | None = None) -> None:
                     choices=["reshape", "matmul", "conv", "zslab", "pieces"],
                     default="reshape",
                     help="pallas lattice<->cell-batch windowing strategy")
+    ap.add_argument("--metric-dtype", choices=["f32", "bf16"], default="f32",
+                    help="storage dtype of the precomputed metric stream")
     ap.add_argument("--overlap", action="store_true",
                     help="overlap halo exchange with interior compute "
                          "(distributed path)")
@@ -236,9 +240,11 @@ def main(argv: list[str] | None = None) -> None:
                                     precision=args.precision,
                                     windowing=args.windowing)
         else:
+            md = jnp.bfloat16 if args.metric_dtype == "bf16" else None
             r = run_one(args.degree, s, solver=args.solver, dtype=dtype,
                         backend=args.backend, verbose=not args.compact,
-                        precision=args.precision, windowing=args.windowing)
+                        precision=args.precision, windowing=args.windowing,
+                        metric_dtype=md)
         print(r.row() + ("" if r.converged else "   [not converged]"))
 
 

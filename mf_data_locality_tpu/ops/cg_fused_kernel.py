@@ -286,7 +286,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                          memory_space=pltpu.VMEM),
             # 3D metric (6q^3, ncz, B): lane-dim block equals the array dim
             # (Mosaic divisible-or-full constraint; B < 128 for s < 10)
-            pl.BlockSpec((6 * q3, 1, B), lambda i: (0, i, 0),
+            pl.BlockSpec((6 * q3, 1, 1, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             main_spec(1), plus_spec(1),
@@ -316,7 +316,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(op.mats, op.gmetric.reshape(6 * q3, ncz, B), scal,
+    )(op.mats, op.gmetric.reshape(6 * q3, ncz, 1, B), scal,
       prec_pieces, prec_pieces, x, g, g, d, d, h, h)
     x2, g2, d2, h2, dots = outs
     return x2, g2, d2, h2, jnp.sum(dots[:7], axis=1)

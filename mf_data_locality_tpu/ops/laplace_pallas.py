@@ -179,7 +179,8 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
                          block: int | None = None,
                          metric: str = "precomputed",
                          precision: str = "highest",
-                         windowing: str = "reshape") -> PallasOperatorData:
+                         windowing: str = "reshape",
+                         metric_dtype=None) -> PallasOperatorData:
     """Build the Pallas operator.
 
     ``metric``: "precomputed" stores the 6 metric entries per q-point
@@ -189,6 +190,10 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
     memory-constrained cases.  ``precision``: "highest" (exact f32 matmuls),
     "split3" (manual 3-product bf16 hi/lo split, ~1e-5 relative operator
     error, f32-HIGH class), or "bf16" (single-pass, ~1e-3).
+    ``metric_dtype``: storage dtype of the precomputed metric stream
+    (default: the compute dtype).  bfloat16 halves the dominant matvec HBM
+    stream (6 q^3 words/cell) at ~2e-3 operator error — pair with
+    ``precision="bf16"`` (same error class).
     """
     p = layout.degree
     q = n_q if n_q is not None else p + 2
@@ -228,12 +233,13 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         gm[0 * q**3:1 * q**3, nc:] = w3
         gm[3 * q**3:4 * q**3, nc:] = w3
         gm[5 * q**3:6 * q**3, nc:] = w3
-        gmetric = jnp.asarray(gm, dtype=dtype)
+        gmetric = jnp.asarray(gm, dtype=metric_dtype or dtype)
     elif metric == "deferred":
         # caller will install the real metric (distributed slab surgery:
         # replace_coeffs_pallas*) — skip the host-side compute, keep the
         # correctly-shaped slot so windowing modes see a precomputed metric
-        gmetric = jnp.zeros((6 * q**3, nc_pad), dtype=dtype)
+        gmetric = jnp.zeros((6 * q**3, nc_pad),
+                            dtype=metric_dtype or dtype)
     elif metric != "onthefly":
         raise ValueError(f"unknown metric mode {metric!r}")
 
@@ -521,7 +527,7 @@ def apply_lattice_zslab(op: PallasOperatorData, u: jax.Array,
             # 3D metric (6q^3, ncz, B): the lane-dim block equals the array
             # dim, satisfying the Mosaic divisible-or-full constraint for
             # every mesh size (B < 128 occurs for s < 10)
-            pl.BlockSpec((6 * q3, 1, B), lambda i: (0, i, 0),
+            pl.BlockSpec((6 * q3, 1, 1, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_comp, p, p1 * p1, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -549,7 +555,7 @@ def apply_lattice_zslab(op: PallasOperatorData, u: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(op.mats, op.gmetric.reshape(6 * q3, ncz, B), t, t,
+    )(op.mats, op.gmetric.reshape(6 * q3, ncz, 1, B), t, t,
       op.mask_w, op.mask_w)
 
     v = jnp.concatenate([out_main, out_top], axis=1)  # (C, Nz, p1^2, B)
@@ -771,7 +777,7 @@ def apply_lattice_pieces(op: PallasOperatorData, u: jax.Array,
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             # 3D metric: lane-dim block == array dim (see zslab note)
-            pl.BlockSpec((6 * q3, 1, B), lambda i: (0, i, 0),
+            pl.BlockSpec((6 * q3, 1, 1, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             *specs_for(p2), *specs_for(p), *specs_for(p), *specs_for(1),
         ],
@@ -800,7 +806,7 @@ def apply_lattice_pieces(op: PallasOperatorData, u: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(op.mats, op.gmetric.reshape(6 * q3, ncz, B),
+    )(op.mats, op.gmetric.reshape(6 * q3, ncz, 1, B),
       mm, mm, mp, mp, pm, pm, pp, pp)
 
     return _from_piece_forms(outs[:4], outs[4], p, (nz, ny, nx))

@@ -226,7 +226,7 @@ def replace_coeffs_pallas(op, co, mask_lat, d, Pp, dtype):
         gm = np.concatenate(
             [laplace_pallas.metric_for_coeffs(co, p1 - 1, q),
              laplace_pallas.dummy_metric_columns(w3, nc_pad - nc)], axis=1)
-        gmetric = jnp.asarray(gm, dtype=dtype)
+        gmetric = jnp.asarray(gm, dtype=op.gmetric.dtype)
     mask_j = jnp.asarray(mask, dtype=op.mask.dtype)
     mask_w = op.mask_w
     if mask_w is not None:  # zslab mode: windowed mask must match the slab
@@ -629,7 +629,7 @@ def replace_coeffs_pallas_raw(op, co, msk, dtype):
         gm = np.concatenate(
             [laplace_pallas.metric_for_coeffs(co, p1 - 1, q),
              laplace_pallas.dummy_metric_columns(w3, nc_pad - nc)], axis=1)
-        gmetric = jnp.asarray(gm, dtype=dtype)
+        gmetric = jnp.asarray(gm, dtype=op.gmetric.dtype)
     mask_j = jnp.asarray(msk, dtype=op.mask.dtype)
     mask_w = op.mask_w
     if mask_w is not None:

@@ -122,3 +122,34 @@ def test_consistency_matches_overlap_add():
                         out[:, kz, r, cy * ncx + cx],
                         lat[:, cy * p + ky, cx * p + kx],
                         atol=1e-12, err_msg=f"kz={kz} r={r} cy={cy} cx={cx}")
+
+
+def test_bf16_metric_operator_error_and_convergence():
+    """bf16 metric storage: ~2e-3 operator error class, CG still converges."""
+    import mf_data_locality_tpu.ops.laplace_pallas as lp
+    from mf_data_locality_tpu.mesh.box import BoxMesh
+    from mf_data_locality_tpu.mesh.dofs import DofLayout
+
+    layout = DofLayout(BoxMesh.from_s(6), 2)
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((3,) + layout.n_nodes_axis),
+                    jnp.float32)
+    op32 = lp.make_pallas_operator(layout, dtype=jnp.float32,
+                                   windowing="pieces")
+    op16 = lp.make_pallas_operator(layout, dtype=jnp.float32,
+                                   windowing="pieces",
+                                   metric_dtype=jnp.bfloat16)
+    v32 = np.asarray(lp.vmult(op32, u))
+    v16 = np.asarray(lp.vmult(op16, u))
+    rel = np.abs(v16 - v32).max() / np.abs(v32).max()
+    assert rel < 2e-2, rel
+
+    problem, lataxis, b_lat, prec_lat = _setup(6, 2, dtype=jnp.float32)
+    op16b = lp.make_pallas_operator(DofLayout(BoxMesh.from_s(6), 2),
+                                    dtype=jnp.float32, windowing="pieces",
+                                    precision="bf16",
+                                    metric_dtype=jnp.bfloat16)
+    res = cg_fused.fused_merged_cg_solve(op16b, lataxis, b_lat, prec_lat)
+    ref = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat, prec_lat)
+    assert bool(res.converged)
+    assert abs(int(res.n_iterations) - int(ref.n_iterations)) <= 8
