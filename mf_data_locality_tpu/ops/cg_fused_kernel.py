@@ -149,7 +149,7 @@ def _make_consistent(v: jax.Array, p: int, ncx: int) -> jax.Array:
     return jnp.concatenate(rows, axis=2)
 
 
-def _fused_cg_kernel(precision, n_comp, p, dims, acc, store,
+def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate,
                      mats_ref, g6_ref, scal_ref,
                      pm_ref, pp_ref,
                      x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
@@ -173,6 +173,8 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store,
     aob = scal_ref[3]
 
     mask = _dirichlet_mask_pieces(p, dims, B, i).astype(acc)  # (p1, R, B)
+    if "mask" in ablate:
+        mask = jnp.ones_like(mask)
 
     def full(main_ref, plus_ref):
         plus = jnp.where(last, 0.0, plus_ref[:].astype(acc))
@@ -189,8 +191,11 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store,
     d2 = beta * d_f - P_f * g2
     x2_ref[:] = x2.astype(x2_ref.dtype)
     g2_ref[:] = g2[:, :p].astype(g2_ref.dtype)
-    d2s = d2.astype(store)
-    d2_ref[:] = d2s[:, :p]
+    # reduced-precision storage: round d through the storage dtype but keep
+    # the working copy at acc — bf16 4D reshapes/slices are unsupported
+    # Mosaic relayouts, and the _mm precision modes re-round at the matmuls
+    d2s = d2 if store == acc else d2.astype(store).astype(acc)
+    d2_ref[:] = d2s[:, :p].astype(d2_ref.dtype)
 
     # -- operator apply on d' ----------------------------------------------
     u = d2s.reshape(n_comp * p13, B)
@@ -212,7 +217,8 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store,
     v = v * mask[None]
 
     # -- post-sweep: piece consistency, z carry, h write --------------------
-    v = _make_consistent(v, p, ncx)
+    if "consistency" not in ablate:
+        v = _make_consistent(v, p, ncx)
     first = v[:, :1] + jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
     vmain = (first if p == 1
              else jnp.concatenate([first, v[:, 1:p]], axis=1))
@@ -220,9 +226,11 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store,
     h2_ref[:] = vmain.astype(h2_ref.dtype)
 
     # -- update3b partial dots over the owner (mm) rows ---------------------
-    hm = h2_ref[:][:, :, :p2].astype(acc)       # stored-precision h
+    # stored-precision values (rounded through `store`), held at acc
+    hs = vmain if store == acc else vmain.astype(store).astype(acc)
+    hm = hs[:, :, :p2]
     gm = g2[:, :p, :p2]
-    dm = d2s[:, :p, :p2].astype(acc)            # stored-precision d
+    dm = d2s[:, :p, :p2]
     Pm = P_f[:, :p, :p2]
     ph = Pm * hm
     pg = Pm * gm
@@ -230,11 +238,14 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store,
     def red(a, b_):
         return jnp.sum(a * b_, axis=(0, 1, 2))   # (B,)
 
-    part = jnp.stack([
-        red(dm, hm), red(hm, hm), red(gm, hm), red(gm, gm),
-        red(gm, ph), red(hm, ph), red(gm, pg),
-        jnp.zeros((B,), acc),
-    ])
+    if "dots" in ablate:
+        part = jnp.zeros((8, B), acc) + hm[0, 0, 0]
+    else:
+        part = jnp.stack([
+            red(dm, hm), red(hm, hm), red(gm, hm), red(gm, gm),
+            red(gm, ph), red(hm, ph), red(gm, pg),
+            jnp.zeros((B,), acc),
+        ])
     acc_prev = jnp.where(i > 0, dacc_ref[:], 0.0)
     total = acc_prev + part
     dacc_ref[:] = total
@@ -244,7 +255,8 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store,
 def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        x, g, d, h, scal,
                        prec_pieces: jax.Array,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       _ablate: tuple = ()):
     """Run one fused CG iteration; returns (x', g', d', h', sums7).
 
     ``x, g, d, h``: piece-state arrays (C, ncz*p, p1^2, B); x, g at the
@@ -279,7 +291,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
 
     outs = pl.pallas_call(
         functools.partial(_fused_cg_kernel, op.precision, n_comp, p,
-                          (ncz, ncy, ncx), acc, store),
+                          (ncz, ncy, ncx), acc, store, _ablate),
         grid=(ncz,),
         in_specs=[
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),

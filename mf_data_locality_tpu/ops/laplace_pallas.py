@@ -704,6 +704,10 @@ def _kernel_g_pieces(precision, n_comp, p, mask_dims, mats_ref, g6_ref,
                            (pm_m, pm_p), (pp_m, pp_p))]
     u = jnp.concatenate(planes, axis=2)  # (C, p1, p1^2, B)
     if mask is not None:
+        # bf16 4D multiplies/reshapes hit unsupported Mosaic relayouts;
+        # masking in f32 is free (the _mm precision modes re-round anyway)
+        if u.dtype == jnp.bfloat16:
+            u = u.astype(jnp.float32)
         u = u * mask[None].astype(u.dtype)
     u = u.reshape(n_comp * p13, B)
 
