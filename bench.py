@@ -32,10 +32,11 @@ def main() -> None:
     bw = timing.measure_hbm_bandwidth()
 
     degree, s = 4, 13  # 8192 cells, ~1.6M DoFs
-    # headline config: corner-piece windowing kernel + split3 matmuls
-    # (explicit bf16 hi/lo 3-product decomposition — f32-class operator,
-    # CG-iteration-exact vs HIGHEST; see tools/MICROBENCH.txt)
-    r = run_one(degree, s, solver="merged", dtype=jnp.float32,
+    # headline config: whole-iteration fused Pallas kernel (piece-resident
+    # state, solvers/cg_fused.py) + split3 matmuls (explicit bf16 hi/lo
+    # 3-product decomposition — f32-class operator, CG-iteration-exact vs
+    # HIGHEST; see tools/MICROBENCH.txt, tools/PROBE_FUSED.txt)
+    r = run_one(degree, s, solver="fused", dtype=jnp.float32,
                 backend="pallas", precision="split3", windowing="pieces",
                 solve_repeats=2, matvec_repeats=2, matvec_inner=20)
 
@@ -53,9 +54,10 @@ def main() -> None:
           f"converged={r.converged}", file=sys.stderr)
 
     # reduced-precision variant (vector_access_reduced capability slot:
-    # bf16 operator-stream storage + single-pass bf16 matmuls)
-    rb = run_one(degree, s, solver="merged", dtype=jnp.bfloat16,
+    # bf16 operator-stream storage + single-pass bf16 matmuls + bf16 metric)
+    rb = run_one(degree, s, solver="fused", dtype=jnp.bfloat16,
                  backend="pallas", precision="bf16", windowing="pieces",
+                 metric_dtype=jnp.bfloat16,
                  solve_repeats=2, matvec_repeats=2, matvec_inner=20)
     print(f"# bf16 variant: dofs/s/it={rb.dofs_per_s_per_it:.3e} "
           f"({rb.dofs_per_s_per_it / roofline:.3f} of roofline) "

@@ -249,7 +249,29 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate,
     acc_prev = jnp.where(i > 0, dacc_ref[:], 0.0)
     total = acc_prev + part
     dacc_ref[:] = total
-    dots_ref[:] = total.astype(dots_ref.dtype)
+
+    # -- in-kernel scalar recurrence (solver_cg_optimized.h:249-295) --------
+    # Computing alpha/beta/c1/aob/res^2 here lets iterations chain
+    # pallas -> pallas with no intermediate XLA kernels — the single-chip
+    # analog of hiding the allreduce turnaround.  Only the last layer's
+    # values survive (constant-index output block, last write wins).
+    s = jnp.sum(total, axis=1)  # (8,) cross-lane
+    alpha_n = s[6] / s[0]
+    beta_n = alpha_n * (s[4] + alpha_n * s[5]) / s[6]
+    res2 = s[3] + 2.0 * alpha_n * s[2] + alpha_n * alpha_n * s[1]
+    parity_next = 1.0 - scal_ref[4]
+    is_pay = (parity_next > 0.5) & (alpha != 0)
+    safe_b = jnp.where(beta == 0, 1.0, beta)
+    aob_n = jnp.where(is_pay, alpha / safe_b, 0.0)
+    c1_n = jnp.where(is_pay, alpha_n + aob_n, 0.0)
+    dots_ref[0] = alpha_n
+    dots_ref[1] = beta_n
+    dots_ref[2] = c1_n
+    dots_ref[3] = aob_n
+    dots_ref[4] = parity_next
+    dots_ref[5] = res2
+    dots_ref[6] = alpha   # alpha_old for the exit fixup
+    dots_ref[7] = beta    # beta_old for the exit fixup
 
 
 def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
@@ -257,11 +279,14 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        prec_pieces: jax.Array,
                        interpret: bool | None = None,
                        _ablate: tuple = ()):
-    """Run one fused CG iteration; returns (x', g', d', h', sums7).
+    """Run one fused CG iteration; returns (x', g', d', h', scal').
 
     ``x, g, d, h``: piece-state arrays (C, ncz*p, p1^2, B); x, g at the
-    accumulation dtype, d, h at the storage dtype.  ``scal``: (4,) array
-    (alpha, beta, c1, aob).  ``prec_pieces``: (1, ncz*p, p1^2, B).
+    accumulation dtype, d, h at the storage dtype.  ``scal``: (8,) array
+    (alpha, beta, c1, aob, parity, res2, alpha_old, beta_old); the kernel
+    returns the next iteration's tuple — the whole scalar recurrence runs
+    in-kernel so iterations chain without intermediate XLA kernels.
+    ``prec_pieces``: (1, ncz*p, p1^2, B).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -312,14 +337,14 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             main_spec(n_comp),                 # g'
             main_spec(n_comp),                 # d'
             main_spec(n_comp),                 # h'
-            pl.BlockSpec((8, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_comp, nzm, R, B), acc),
             jax.ShapeDtypeStruct((n_comp, nzm, R, B), acc),
             jax.ShapeDtypeStruct((n_comp, nzm, R, B), store),
             jax.ShapeDtypeStruct((n_comp, nzm, R, B), store),
-            jax.ShapeDtypeStruct((8, B), acc),
+            jax.ShapeDtypeStruct((8,), acc),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_comp, R, B), acc),
@@ -330,5 +355,4 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         interpret=interpret,
     )(op.mats, op.gmetric.reshape(6 * q3, ncz, 1, B), scal,
       prec_pieces, prec_pieces, x, g, g, d, d, h, h)
-    x2, g2, d2, h2, dots = outs
-    return x2, g2, d2, h2, jnp.sum(dots[:7], axis=1)
+    return outs  # (x', g', d', h', scal')

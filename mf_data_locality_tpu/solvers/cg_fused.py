@@ -42,7 +42,6 @@ def fused_merged_cg_solve(
     p = p1 - 1
     dtype = b.dtype
     acc = jnp.float32 if dtype == jnp.bfloat16 else dtype
-    zero = jnp.zeros((), acc)
 
     b_eff = b
     if x0 is not None:
@@ -69,33 +68,27 @@ def fused_merged_cg_solve(
     h_st = jnp.zeros(g0.shape, dtype)
 
     def cond(state):
-        it, res = state[8], state[9]
+        it, res = state[5], state[6]
         return (res > tol) & (it < max_iter)
 
     def body(state):
-        x, g, d, h, alpha, beta, alpha_old, beta_old, it, _, hist = state
+        x, g, d, h, scal, it, _, hist = state
         it = it + 1
-        alpha_old_eff = jnp.where(it % 2 == 1, alpha_old, zero)
-        safe_b = jnp.where(beta_old == 0, 1.0, beta_old)
-        is_pay = alpha_old_eff != 0
-        aob = jnp.where(is_pay, alpha_old_eff / safe_b, zero)
-        c1 = jnp.where(is_pay, alpha + aob, zero)
-        scal = jnp.stack([alpha, beta, c1, aob])
-        x, g, d, h, s = fk.fused_cg_iteration(
+        # the whole per-iteration scalar recurrence runs inside the kernel;
+        # scal' = (alpha, beta, c1, aob, parity, res2, alpha_old, beta_old)
+        x, g, d, h, scal = fk.fused_cg_iteration(
             op, n_nodes_axis, x, g, d, h, scal, prec_pieces,
             interpret=interpret)
-        alpha_old, beta_old = alpha, beta
-        alpha = s[6] / s[0]
-        res = jnp.sqrt(jnp.maximum(
-            s[3] + 2 * alpha * s[2] + alpha ** 2 * s[1], 0.0))
-        beta = alpha * (s[4] + alpha * s[5]) / s[6]
-        return (x, g, d, h, alpha, beta, alpha_old, beta_old, it, res,
-                hist.at[it].set(res))
+        res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
+        return (x, g, d, h, scal, it, res, hist.at[it].set(res))
 
-    state = (x_st, g0, d_st, h_st, zero, zero, zero, zero,
+    # initial scal: alpha = beta = c1 = aob = 0, parity(it=1) = 1
+    scal0 = jnp.zeros((8,), acc).at[4].set(1.0)
+    state = (x_st, g0, d_st, h_st, scal0,
              jnp.asarray(0, jnp.int32), res0, history)
-    x, g, d, h, alpha, beta, alpha_old, beta_old, it, res, history = (
+    x, g, d, h, scal, it, res, history = (
         jax.lax.while_loop(cond, body, state))
+    alpha, alpha_old, beta_old = scal[0], scal[6], scal[7]
 
     # delayed-x exit fixup (solver_cg_optimized.h:254-289)
     safe_beta_old = jnp.where(beta_old == 0, 1.0, beta_old)

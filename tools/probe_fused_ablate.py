@@ -38,7 +38,7 @@ def main():
     p = 4
     prec_pieces = fk.to_piece_state(prec_lat, p)
     g0 = fk.to_piece_state(-b_lat, p)
-    scal = jnp.asarray([0.3, 0.5, 0.4, 0.1], jnp.float32)
+    scal = jnp.asarray([0.3, 0.5, 0.4, 0.1, 1., 0., 0., 0.], jnp.float32)
     z = jnp.zeros_like(g0)
 
     log("# probe_fused_ablate p=4 s=13 split3 (scan of 30 iterations)")
