@@ -111,6 +111,24 @@ def assemble_from_partial(vm: jax.Array, p: int, n_nodes_axis) -> jax.Array:
     return _from_piece_forms(parts, vtop, p, n_nodes_axis)
 
 
+def fold_state(v: jax.Array) -> jax.Array:
+    """(C, nzm, R, B) piece-state -> (1, nzm, R, C*B) lane-folded state.
+
+    Folding the component axis into the lane axis lets the kernel issue ONE
+    wide MXU contraction of N = C*B columns instead of C narrow ones.  Lane
+    order is component-major: column c*B + (cy*ncx + cx).
+    """
+    c, nzm, r, b = v.shape
+    return v.transpose(1, 2, 0, 3).reshape(1, nzm, r, c * b)
+
+
+def unfold_state(v: jax.Array, n_comp: int) -> jax.Array:
+    """Inverse of :func:`fold_state`."""
+    _, nzm, r, cb = v.shape
+    b = cb // n_comp
+    return v.reshape(nzm, r, n_comp, b).transpose(2, 0, 1, 3)
+
+
 def _consistency_rows(p: int):
     """Static row-index lists for the y/x piece-consistency phases."""
     p2 = p * p
@@ -149,30 +167,43 @@ def _make_consistent(v: jax.Array, p: int, ncx: int) -> jax.Array:
     return jnp.concatenate(rows, axis=2)
 
 
-def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate,
+def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
                      mats_ref, g6_ref, scal_ref,
                      pm_ref, pp_ref,
                      x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
                      x2_ref, g2_ref, d2_ref, h2_ref, dots_ref,
                      carry_ref, dacc_ref):
-    """One z-cell-layer of the fused CG iteration (see module docstring)."""
+    """One z-cell-layer of the fused CG iteration (see module docstring).
+
+    ``n_rep > 1`` is the lane-folded form: the state refs carry n_rep
+    components concatenated along the lane axis (n_comp == 1 then), while
+    the preconditioner/metric refs keep the per-cell lane width and are
+    tiled in VMEM.  The y/x consistency lane-rolls remain valid across
+    component boundaries because every wrapped column pairs piece copies at
+    a global box face, which the Dirichlet mask has zeroed.
+    """
     ncz, ncy, ncx = dims
     p1 = p + 1
     p2 = p * p
     p13 = mats_ref.shape[1]
     q3 = g6_ref.shape[0] // 6
     B = x_ref.shape[3]
+    Bc = B // n_rep  # per-cell lane width of the prec/metric refs
     i = pl.program_id(0)
     last = i == ncz - 1
 
     del ncy  # geometry comes via the mask helper
+
+    def rep(a):
+        # tile the per-cell lane axis to the folded state width
+        return a if n_rep == 1 else jnp.concatenate([a] * n_rep, axis=-1)
 
     alpha = scal_ref[0]
     beta = scal_ref[1]
     c1 = scal_ref[2]
     aob = scal_ref[3]
 
-    mask = _dirichlet_mask_pieces(p, dims, B, i).astype(acc)  # (p1, R, B)
+    mask = rep(_dirichlet_mask_pieces(p, dims, Bc, i)).astype(acc)
     if "mask" in ablate:
         mask = jnp.ones_like(mask)
 
@@ -183,7 +214,7 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate,
     g_f = full(g_ref, gp_ref)        # (C, p1, R, B)
     d_f = full(d_ref, dp_ref)
     h_f = full(h_ref, hp_ref)
-    P_f = full(pm_ref, pp_ref)       # (1, p1, R, B)
+    P_f = rep(full(pm_ref, pp_ref))  # (1, p1, R, B)
 
     # -- update4b (pre-sweep callback): delayed-x + g,d recurrences --------
     x2 = x_ref[:].astype(acc) + c1 * d_f[:, :p] + aob * (P_f[:, :p] * g_f[:, :p])
@@ -200,9 +231,11 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate,
     # -- operator apply on d' ----------------------------------------------
     u = d2s.reshape(n_comp * p13, B)
     m = mats_ref[:]
-    g6 = g6_ref[:].reshape(6 * q3, B)
-    g00, g01, g02 = g6[:q3], g6[q3:2 * q3], g6[2 * q3:3 * q3]
-    g11, g12, g22 = g6[3 * q3:4 * q3], g6[4 * q3:5 * q3], g6[5 * q3:]
+    g6 = g6_ref[:].reshape(6 * q3, Bc)
+    g00, g01, g02 = (rep(g6[:q3]), rep(g6[q3:2 * q3]),
+                     rep(g6[2 * q3:3 * q3]))
+    g11, g12, g22 = (rep(g6[3 * q3:4 * q3]), rep(g6[4 * q3:5 * q3]),
+                     rep(g6[5 * q3:]))
     dn_t = (((0,), (0,)), ((), ()))
     vs = []
     for c in range(n_comp):
@@ -278,6 +311,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        x, g, d, h, scal,
                        prec_pieces: jax.Array,
                        interpret: bool | None = None,
+                       n_rep: int = 1,
                        _ablate: tuple = ()):
     """Run one fused CG iteration; returns (x', g', d', h', scal').
 
@@ -287,6 +321,11 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     returns the next iteration's tuple — the whole scalar recurrence runs
     in-kernel so iterations chain without intermediate XLA kernels.
     ``prec_pieces``: (1, ncz*p, p1^2, B).
+
+    ``n_rep > 1``: lane-folded form (:func:`fold_state`) — the state arrays
+    are (1, ncz*p, p1^2, n_rep*B) with components concatenated along the
+    lane axis, turning the per-component MXU contractions into single calls
+    of n_rep-fold width; ``prec_pieces`` keeps lane width B.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -295,6 +334,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     nz, ny, nx = n_nodes_axis
     ncz, ncy, ncx = (nz - 1) // p, (ny - 1) // p, (nx - 1) // p
     B = ncy * ncx
+    Bs = n_rep * B  # state lane width
     R = p1 * p1
     q3 = op.w3.shape[0]
     p13 = op.mats.shape[1]
@@ -303,20 +343,20 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     store = d.dtype
     nzm = ncz * p
 
-    def main_spec(c):
-        return pl.BlockSpec((c, p, R, B), lambda i: (0, i, 0, 0),
+    def main_spec(c, lanes=Bs):
+        return pl.BlockSpec((c, p, R, lanes), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def plus_spec(c):
+    def plus_spec(c, lanes=Bs):
         # the +1 plane; clamped at the last layer (kernel substitutes zeros)
         return pl.BlockSpec(
-            (c, 1, R, B),
+            (c, 1, R, lanes),
             lambda i: (0, jnp.minimum(i * p + p, nzm - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         functools.partial(_fused_cg_kernel, op.precision, n_comp, p,
-                          (ncz, ncy, ncx), acc, store, _ablate),
+                          (ncz, ncy, ncx), acc, store, _ablate, n_rep),
         grid=(ncz,),
         in_specs=[
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
@@ -326,7 +366,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             pl.BlockSpec((6 * q3, 1, 1, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            main_spec(1), plus_spec(1),
+            main_spec(1, B), plus_spec(1, B),
             main_spec(n_comp),                 # x (no plus plane needed)
             main_spec(n_comp), plus_spec(n_comp),   # g
             main_spec(n_comp), plus_spec(n_comp),   # d
@@ -340,15 +380,15 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_comp, nzm, R, B), acc),
-            jax.ShapeDtypeStruct((n_comp, nzm, R, B), acc),
-            jax.ShapeDtypeStruct((n_comp, nzm, R, B), store),
-            jax.ShapeDtypeStruct((n_comp, nzm, R, B), store),
+            jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), acc),
+            jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), acc),
+            jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), store),
+            jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), store),
             jax.ShapeDtypeStruct((8,), acc),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_comp, R, B), acc),
-            pltpu.VMEM((8, B), acc),
+            pltpu.VMEM((n_comp, R, Bs), acc),
+            pltpu.VMEM((8, Bs), acc),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

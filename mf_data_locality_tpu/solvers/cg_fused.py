@@ -31,12 +31,15 @@ def fused_merged_cg_solve(
     abs_tol: float = 1e-15,
     rel_tol: float = 1e-8,
     interpret: bool | None = None,
+    fold: bool = True,
 ) -> SolveResult:
     """Solve A x = b (lattice vectors (C, Nz, Ny, Nx)) with the fused kernel.
 
     ``prec``: (C or 1, Nz, Ny, Nx) lattice preconditioner diagonal.
     ``x0``: handled by shifting to the residual equation A dx = b - A x0
     (identical residual history; one extra operator apply at entry).
+    ``fold``: lane-fold the component axis so the kernel's MXU contractions
+    run at 3x width (:func:`ops.cg_fused_kernel.fold_state`).
     """
     p1 = round(op.mats.shape[1] ** (1 / 3))
     p = p1 - 1
@@ -55,7 +58,11 @@ def fused_merged_cg_solve(
     # components (diagonal_matrix_blocked.h:8-36) -> (1, Nz, Ny, Nx)
     prec_pieces = fk.to_piece_state(prec[:1].astype(acc), p)
 
+    n_comp = b.shape[0]
+    n_rep = n_comp if fold else 1
     g0 = fk.to_piece_state(-b_eff.astype(acc), p)
+    if fold:
+        g0 = fk.fold_state(g0)
     # ||g0||^2 over owner rows (each global DoF exactly once; boundary rows
     # are zero by construction)
     p2 = p * p
@@ -78,7 +85,7 @@ def fused_merged_cg_solve(
         # scal' = (alpha, beta, c1, aob, parity, res2, alpha_old, beta_old)
         x, g, d, h, scal = fk.fused_cg_iteration(
             op, n_nodes_axis, x, g, d, h, scal, prec_pieces,
-            interpret=interpret)
+            interpret=interpret, n_rep=n_rep)
         res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
         return (x, g, d, h, scal, it, res, hist.at[it].set(res))
 
@@ -89,6 +96,10 @@ def fused_merged_cg_solve(
     x, g, d, h, scal, it, res, history = (
         jax.lax.while_loop(cond, body, state))
     alpha, alpha_old, beta_old = scal[0], scal[6], scal[7]
+    if fold:
+        x = fk.unfold_state(x, n_comp)
+        g = fk.unfold_state(g, n_comp)
+        d = fk.unfold_state(d, n_comp)
 
     # delayed-x exit fixup (solver_cg_optimized.h:254-289)
     safe_beta_old = jnp.where(beta_old == 0, 1.0, beta_old)

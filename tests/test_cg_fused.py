@@ -36,7 +36,7 @@ def test_piece_state_roundtrip(s, p):
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-14)
 
 
-@pytest.mark.parametrize("s,p", [(5, 1), (6, 2), (6, 3)])
+@pytest.mark.parametrize("s,p", [(5, 1), (6, 2), (6, 3), (6, 4)])
 def test_fused_matches_merged_f64(s, p):
     problem, lataxis, b_lat, prec_lat = _setup(s, p)
     ref = cg_merged.merged_cg_solve(problem.a_apply, problem.b,
@@ -46,10 +46,37 @@ def test_fused_matches_merged_f64(s, p):
     n = int(ref.n_iterations) + 1
     hr = np.asarray(ref.res_history)[:n]
     hf = np.asarray(res.res_history)[:n]
-    np.testing.assert_allclose(hf, hr, rtol=1e-8)
+    # the in-kernel per-layer dot accumulation orders f64 rounding
+    # differently; deep in a long solve the residuals below ~1e-8*res0
+    # (the convergence tolerance itself) drift a few percent relative
+    # while the iterate and iteration count stay identical
+    np.testing.assert_allclose(hf, hr, rtol=1e-6, atol=1e-8 * hr[0])
     xr = np.asarray(ref.x).reshape(3, -1)
     xf = np.asarray(res.x).reshape(3, -1)
     np.testing.assert_allclose(xf, xr, atol=1e-10 * max(1.0, np.abs(xr).max()))
+
+
+@pytest.mark.parametrize("s,p", [(5, 1), (6, 2), (6, 3)])
+def test_fold_matches_unfolded(s, p):
+    """Lane-folded state (one 3x-wide MXU call) == per-component form."""
+    problem, lataxis, b_lat, prec_lat = _setup(s, p)
+    r0 = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat, prec_lat,
+                                        fold=False)
+    r1 = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat, prec_lat,
+                                        fold=True)
+    assert int(r0.n_iterations) == int(r1.n_iterations)
+    x0 = np.asarray(r0.x)
+    x1 = np.asarray(r1.x)
+    np.testing.assert_allclose(x1, x0, atol=1e-11 * max(1.0, np.abs(x0).max()))
+
+
+def test_fold_state_roundtrip():
+    rng = np.random.default_rng(9)
+    v = jnp.asarray(rng.standard_normal((3, 8, 9, 16)))
+    f = fk.fold_state(v)
+    assert f.shape == (1, 8, 9, 48)
+    np.testing.assert_array_equal(np.asarray(fk.unfold_state(f, 3)),
+                                  np.asarray(v))
 
 
 def test_fused_x0_start():
