@@ -149,15 +149,26 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
     """
     from mf_data_locality_tpu.parallel import distributed as dist
 
-    dp, mesh = dist.build_distributed(s, degree, n_devices=n_devices,
-                                      dtype=dtype, backend=backend,
-                                      precision=precision,
-                                      windowing=windowing)
-    result = dist.solve(dp, mesh, solver=solver, overlap=overlap)
+    if solver == "fused":
+        if backend != "pallas" or windowing != "pieces":
+            raise ValueError("--solver fused --devices N requires "
+                             "--backend pallas --windowing pieces")
+        from mf_data_locality_tpu.parallel import dist_fused
+
+        dp, mesh = dist_fused.build_dist_fused(
+            s, degree, n_devices=n_devices, dtype=dtype, precision=precision)
+        do_solve = lambda: dist_fused.solve_fused(dp, mesh)  # noqa: E731
+    else:
+        dp, mesh = dist.build_distributed(s, degree, n_devices=n_devices,
+                                          dtype=dtype, backend=backend,
+                                          precision=precision,
+                                          windowing=windowing)
+        do_solve = lambda: dist.solve(dp, mesh, solver=solver,  # noqa: E731
+                                      overlap=overlap)
+    result = do_solve()
     n_it = int(result.n_iterations)
     solver_time = timing.time_min_fetch(
-        lambda: dist.solve(dp, mesh, solver=solver,
-                           overlap=overlap).res_norm,
+        lambda: do_solve().res_norm,
         repeats=solve_repeats, warmup=0)
 
     mv = dist.dist_matvec_jit(dp, mesh, overlap=overlap)

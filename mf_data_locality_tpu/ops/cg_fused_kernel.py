@@ -168,10 +168,12 @@ def _make_consistent(v: jax.Array, p: int, ncx: int) -> jax.Array:
 
 
 def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
-                     mats_ref, g6_ref, scal_ref,
+                     ncz_g, recurrence,
+                     mats_ref, g6_ref, scal_ref, zoff_ref,
                      pm_ref, pp_ref,
                      x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
-                     x2_ref, g2_ref, d2_ref, h2_ref, dots_ref,
+                     gh_ref, dh_ref, hh_ref, ph_ref,
+                     x2_ref, g2_ref, d2_ref, h2_ref, dots_ref, carry_out_ref,
                      carry_ref, dacc_ref):
     """One z-cell-layer of the fused CG iteration (see module docstring).
 
@@ -181,8 +183,21 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     tiled in VMEM.  The y/x consistency lane-rolls remain valid across
     component boundaries because every wrapped column pairs piece copies at
     a global box face, which the Dirichlet mask has zeroed.
+
+    Distributed (z-slab) form: ``zoff_ref`` (SMEM, per-device dynamic) and
+    static ``ncz_g`` place this device's layers in the global mesh
+    (Dirichlet z-faces and dummy layers past the top are derived from
+    GLOBAL layer indices); the ``*h_ref``
+    halo refs supply the +1 plane of the last layer (the neighboring
+    device's pre-update plane 0; zeros on the last device) instead of the
+    single-device zero substitute; ``recurrence=False`` writes the raw
+    7 partial sums to ``dots_ref`` (for the cross-device psum — the
+    reference's single allreduce, ``poisson_operator.h:373-375``) instead
+    of running the scalar recurrence in-kernel; and the z carry plane is
+    emitted through ``carry_out_ref`` for the upward neighbor.
     """
     ncz, ncy, ncx = dims
+    z0 = zoff_ref[0]
     p1 = p + 1
     p2 = p * p
     p13 = mats_ref.shape[1]
@@ -203,18 +218,20 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     c1 = scal_ref[2]
     aob = scal_ref[3]
 
-    mask = rep(_dirichlet_mask_pieces(p, dims, Bc, i)).astype(acc)
+    mask = rep(_dirichlet_mask_pieces(p, dims, Bc, i, z0=z0,
+                                      ncz_global=ncz_g)).astype(acc)
     if "mask" in ablate:
         mask = jnp.ones_like(mask)
 
-    def full(main_ref, plus_ref):
-        plus = jnp.where(last, 0.0, plus_ref[:].astype(acc))
+    def full(main_ref, plus_ref, halo_ref):
+        plus = jnp.where(last, halo_ref[:].astype(acc),
+                         plus_ref[:].astype(acc))
         return jnp.concatenate([main_ref[:].astype(acc), plus], axis=1)
 
-    g_f = full(g_ref, gp_ref)        # (C, p1, R, B)
-    d_f = full(d_ref, dp_ref)
-    h_f = full(h_ref, hp_ref)
-    P_f = rep(full(pm_ref, pp_ref))  # (1, p1, R, B)
+    g_f = full(g_ref, gp_ref, gh_ref)        # (C, p1, R, B)
+    d_f = full(d_ref, dp_ref, dh_ref)
+    h_f = full(h_ref, hp_ref, hh_ref)
+    P_f = rep(full(pm_ref, pp_ref, ph_ref))  # (1, p1, R, B)
 
     # -- update4b (pre-sweep callback): delayed-x + g,d recurrences --------
     x2 = x_ref[:].astype(acc) + c1 * d_f[:, :p] + aob * (P_f[:, :p] * g_f[:, :p])
@@ -256,6 +273,10 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     vmain = (first if p == 1
              else jnp.concatenate([first, v[:, 1:p]], axis=1))
     carry_ref[:] = v[:, p]
+    if carry_out_ref is not None:
+        # constant-index output block: the final (last-layer) write survives
+        # — the z-overlap contribution owed to the upward neighbor device
+        carry_out_ref[:] = v[:, p:p + 1]
     h2_ref[:] = vmain.astype(h2_ref.dtype)
 
     # -- update3b partial dots over the owner (mm) rows ---------------------
@@ -289,22 +310,36 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     # analog of hiding the allreduce turnaround.  Only the last layer's
     # values survive (constant-index output block, last write wins).
     s = jnp.sum(total, axis=1)  # (8,) cross-lane
+    if not recurrence:
+        # distributed path: emit the raw local partial sums; the scalar
+        # recurrence runs at XLA level after the one 7-scalar psum
+        for k in range(8):
+            dots_ref[k] = s[k]
+        return
+    sc = scalar_recurrence(s, alpha, beta, scal_ref[4])
+    for k in range(8):
+        dots_ref[k] = sc[k]
+
+
+def scalar_recurrence(s, alpha, beta, parity):
+    """The merged-CG per-iteration scalar update from the 7 fused sums.
+
+    ``s``: (8,) sums (d.h, h.h, g.h, g.g, g.Ph, h.Ph, g.Pg, 0); ``alpha``,
+    ``beta``: previous iteration's coefficients; ``parity``: delayed-x
+    phase.  Returns the next scal vector (alpha, beta, c1, aob, parity,
+    res2, alpha_old, beta_old) — exactly ``solver_cg_optimized.h:249-295``.
+    Shared by the in-kernel (single-chip) and XLA-level (distributed, after
+    the psum) recurrence paths.
+    """
     alpha_n = s[6] / s[0]
     beta_n = alpha_n * (s[4] + alpha_n * s[5]) / s[6]
     res2 = s[3] + 2.0 * alpha_n * s[2] + alpha_n * alpha_n * s[1]
-    parity_next = 1.0 - scal_ref[4]
+    parity_next = 1.0 - parity
     is_pay = (parity_next > 0.5) & (alpha != 0)
     safe_b = jnp.where(beta == 0, 1.0, beta)
     aob_n = jnp.where(is_pay, alpha / safe_b, 0.0)
     c1_n = jnp.where(is_pay, alpha_n + aob_n, 0.0)
-    dots_ref[0] = alpha_n
-    dots_ref[1] = beta_n
-    dots_ref[2] = c1_n
-    dots_ref[3] = aob_n
-    dots_ref[4] = parity_next
-    dots_ref[5] = res2
-    dots_ref[6] = alpha   # alpha_old for the exit fixup
-    dots_ref[7] = beta    # beta_old for the exit fixup
+    return (alpha_n, beta_n, c1_n, aob_n, parity_next, res2, alpha, beta)
 
 
 def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
@@ -312,6 +347,11 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        prec_pieces: jax.Array,
                        interpret: bool | None = None,
                        n_rep: int = 1,
+                       halo: tuple | None = None,
+                       z0: int = 0,
+                       ncz_global: int | None = None,
+                       recurrence: bool = True,
+                       want_carry: bool = False,
                        _ablate: tuple = ()):
     """Run one fused CG iteration; returns (x', g', d', h', scal').
 
@@ -326,6 +366,15 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     are (1, ncz*p, p1^2, n_rep*B) with components concatenated along the
     lane axis, turning the per-component MXU contractions into single calls
     of n_rep-fold width; ``prec_pieces`` keeps lane width B.
+
+    Distributed z-slab options (see :mod:`parallel.dist_fused`):
+    ``halo = (g_h, d_h, h_h, p_h)`` — the upward neighbor's pre-update
+    plane-0 state ((C, 1, R, Bs) x3 + (1, 1, R, B)) used as the last
+    layer's +1 plane; ``z0`` / ``ncz_global`` — this slab's global z-layer
+    offset and the global layer count (drives Dirichlet faces and dummy
+    layers); ``recurrence=False`` — return raw local partial sums instead
+    of running the scalar recurrence; ``want_carry=True`` — additionally
+    return the (C, 1, R, Bs) z-carry plane owed to the upward neighbor.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -348,15 +397,56 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                             memory_space=pltpu.VMEM)
 
     def plus_spec(c, lanes=Bs):
-        # the +1 plane; clamped at the last layer (kernel substitutes zeros)
+        # the +1 plane; clamped at the last layer (the kernel substitutes
+        # the halo plane there)
         return pl.BlockSpec(
             (c, 1, R, lanes),
             lambda i: (0, jnp.minimum(i * p + p, nzm - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
+    def halo_spec(c, lanes=Bs):
+        return pl.BlockSpec((c, 1, R, lanes), lambda i: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    if halo is None:
+        g_h = jnp.zeros((n_comp, 1, R, Bs), acc)
+        d_h = jnp.zeros((n_comp, 1, R, Bs), store)
+        h_h = jnp.zeros((n_comp, 1, R, Bs), store)
+        p_h = jnp.zeros((1, 1, R, B), prec_pieces.dtype)
+    else:
+        g_h, d_h, h_h, p_h = halo
+
+    out_specs = [
+        main_spec(n_comp),                 # x'
+        main_spec(n_comp),                 # g'
+        main_spec(n_comp),                 # d'
+        main_spec(n_comp),                 # h'
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), acc),
+        jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), acc),
+        jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), store),
+        jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), store),
+        jax.ShapeDtypeStruct((8,), acc),
+    ]
+    if want_carry:
+        out_specs.append(halo_spec(n_comp))
+        out_shape.append(jax.ShapeDtypeStruct((n_comp, 1, R, Bs), acc))
+
+    base = functools.partial(
+        _fused_cg_kernel, op.precision, n_comp, p,
+        (ncz, ncy, ncx), acc, store, _ablate, n_rep,
+        ncz_global if ncz_global is not None else ncz, recurrence)
+    if want_carry:
+        kern = base
+    else:
+        def kern(*refs):
+            *head, dots_ref, carry_ref, dacc_ref = refs
+            return base(*head, dots_ref, None, carry_ref, dacc_ref)
+
     outs = pl.pallas_call(
-        functools.partial(_fused_cg_kernel, op.precision, n_comp, p,
-                          (ncz, ncy, ncx), acc, store, _ablate, n_rep),
+        kern,
         grid=(ncz,),
         in_specs=[
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
@@ -366,26 +456,17 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             pl.BlockSpec((6 * q3, 1, 1, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             main_spec(1, B), plus_spec(1, B),
             main_spec(n_comp),                 # x (no plus plane needed)
             main_spec(n_comp), plus_spec(n_comp),   # g
             main_spec(n_comp), plus_spec(n_comp),   # d
             main_spec(n_comp), plus_spec(n_comp),   # h
+            halo_spec(n_comp), halo_spec(n_comp), halo_spec(n_comp),
+            halo_spec(1, B),
         ],
-        out_specs=[
-            main_spec(n_comp),                 # x'
-            main_spec(n_comp),                 # g'
-            main_spec(n_comp),                 # d'
-            main_spec(n_comp),                 # h'
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), acc),
-            jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), acc),
-            jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), store),
-            jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), store),
-            jax.ShapeDtypeStruct((8,), acc),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((n_comp, R, Bs), acc),
             pltpu.VMEM((8, Bs), acc),
@@ -394,5 +475,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(op.mats, op.gmetric.reshape(6 * q3, ncz, 1, B), scal,
-      prec_pieces, prec_pieces, x, g, g, d, d, h, h)
-    return outs  # (x', g', d', h', scal')
+      jnp.asarray(z0, jnp.int32).reshape(1),
+      prec_pieces, prec_pieces, x, g, g, d, d, h, h,
+      g_h, d_h, h_h, p_h)
+    return outs  # (x', g', d', h', scal'[, carry])

@@ -646,7 +646,8 @@ def _from_piece_forms(vm, vtop, p: int, n_nodes_axis) -> jax.Array:
     return v
 
 
-def _dirichlet_mask_pieces(p: int, dims, B: int, i):
+def _dirichlet_mask_pieces(p: int, dims, B: int, i, z0: int = 0,
+                           ncz_global: int | None = None):
     """Full-box Dirichlet mask in piece-row order, from iota (no HBM).
 
     Rows are the concatenated piece rows (p^2 mm, p mp, p pm, 1 pp) with the
@@ -655,8 +656,15 @@ def _dirichlet_mask_pieces(p: int, dims, B: int, i):
     the axis maximum; per piece row that reduces to corner tests on
     (cy, ky) / (cx, kx) plus the grid-step test on the z-plane index.
     Returns a (p1, p1^2, B) float32 0/1 array.
+
+    Distributed z-slabs: ``z0`` is this slab's global z-cell-layer offset and
+    ``ncz_global`` the global layer count — the z Dirichlet faces then sit
+    at GLOBAL layers 0 / ncz_global-1, and slab layers past the global top
+    (dummy padding for non-divisible device counts) are masked entirely.
     """
     ncz, ncy, ncx = dims
+    if ncz_global is None:
+        ncz_global = ncz
     p1 = p + 1
     p2 = p * p
     rows = p1 * p1
@@ -671,7 +679,9 @@ def _dirichlet_mask_pieces(p: int, dims, B: int, i):
     ybad = ((cy == 0) & (ky == 0)) | ((cy == ncy - 1) & (ky == p))
     xbad = ((cx == 0) & (kx == 0)) | ((cx == ncx - 1) & (kx == p))
     kz = jax.lax.broadcasted_iota(jnp.int32, (p1, 1), 0)
-    zbad = ((i == 0) & (kz == 0)) | ((i == ncz - 1) & (kz == p))
+    gz = z0 + i  # global z-cell-layer index
+    zbad = (((gz == 0) & (kz == 0)) | ((gz == ncz_global - 1) & (kz == p))
+            | (gz >= ncz_global))
     ok = (~(ybad | xbad))[None, :, :] & (~zbad)[:, :, None]
     return ok.astype(jnp.float32)
 

@@ -1,0 +1,191 @@
+"""Distributed whole-iteration fused CG over a z-slab device mesh.
+
+The multi-device form of :mod:`solvers.cg_fused` and the closest structural
+analog of the reference's merged solver in MPI operation
+(``solver_cg_optimized.h:190-302`` + ``poisson_operator.h:327-377``):
+
+* Each device keeps the CG state x, g, d, h **permanently in corner-piece
+  form** for its own z-cell layers.  Unlike the lattice slab vectors of
+  :mod:`parallel.distributed`, piece-state planes partition z uniquely
+  (no replicated shared plane), so local dot products need no ownership
+  weights.
+* Per iteration, communication is exactly:
+
+  1. one downward ppermute of the neighbor's pre-update plane-0 state
+     (g, d, h — the ghost exchange of ``MatrixFree::cell_loop``),
+  2. one upward ppermute of the z-carry plane (the compress add-back),
+  3. ONE psum of the 7 fused partial sums (the reference's single
+     ``MPI_Allreduce`` of 7 doubles, ``poisson_operator.h:373-375``).
+
+  Everything else — update4b, the operator sweep, piece consistency, the
+  partial dots — runs inside the one fused Pallas kernel per device.
+* The carry plane arrives after the local dots were accumulated, so the
+  five h-dependent sums are corrected exactly with single-plane terms
+  (delta algebra below) before the psum; the scalar recurrence
+  (:func:`ops.cg_fused_kernel.scalar_recurrence`) then runs at XLA level.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mf_data_locality_tpu.ops import cg_fused_kernel as fk
+from mf_data_locality_tpu.parallel import distributed as dist
+from mf_data_locality_tpu.solvers.cg import SolveResult
+
+AXIS = dist.AXIS
+
+
+def build_dist_fused(s: int, degree: int, n_devices: int | None = None,
+                     dtype=jnp.float32, precision: str = "highest",
+                     devices=None, box=None):
+    """Build the z-slab problem for the fused solver (pieces windowing)."""
+    return dist.build_distributed(
+        s, degree, n_devices=n_devices, dtype=dtype, backend="pallas",
+        precision=precision, windowing="pieces", devices=devices, box=box)
+
+
+def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
+                max_iter: int = 100, abs_tol: float = 1e-15,
+                rel_tol: float = 1e-8, fold: bool = False,
+                interpret: bool | None = None) -> SolveResult:
+    """Distributed fused-kernel merged-CG solve.
+
+    Returns ``x`` as (D, C, Pp+1, Ny, Nx) lattice slabs compatible with
+    :func:`parallel.distributed.gather_global` (each device's top plane is
+    zero — it is owned by the neighbor above; gather uses plane 0..Pp of
+    every device plus the zero global top).
+    """
+    n_dev = dp.n_devices
+
+    ncz_g = dp.ncz_global
+
+    def body(op_stack, inv_diag, b):
+        op = dist._index0(op_stack)
+        return _solve_local(op, inv_diag[0], b[0], n_dev, ncz_g,
+                            max_iter=max_iter, abs_tol=abs_tol,
+                            rel_tol=rel_tol, fold=fold, interpret=interpret)
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS),) * 3,
+                       out_specs=(P(AXIS), P(), P(), P(), P()),
+                       check_vma=False)
+    x, it, res_norm, hist, conv = jax.jit(fn)(
+        dp.op_stack, dp.inv_diag, dp.b)
+    return SolveResult(x, it, res_norm, hist, conv)
+
+
+def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
+                 fold, interpret):
+    """Per-device solve body (inside shard_map).
+
+    ``inv_diag``: (1, Pp+1, Ny, Nx); ``b``: (C, Pp+1, Ny, Nx) lattice slabs
+    with replicated shared planes (only planes 0..Pp-1 are owned here —
+    to_piece_state drops the top plane).  ``ncz_g``: REAL global z-layer
+    count — slab layers at or past it are dummy padding, masked entirely.
+    """
+    p1 = round(op.mats.shape[1] ** (1 / 3))
+    p = p1 - 1
+    p2 = p * p
+    n_comp = b.shape[0]
+    n_rep = n_comp if fold else 1
+    slab_axis = b.shape[1:]  # (Pp+1, Ny, Nx)
+    ncz_loc = (slab_axis[0] - 1) // p
+    dtype = b.dtype
+    acc = jnp.float32 if dtype == jnp.bfloat16 else dtype
+
+    didx = jax.lax.axis_index(AXIS) if n_dev > 1 else 0
+    z0 = didx * ncz_loc
+
+    down = [(d, d - 1) for d in range(1, n_dev)]  # receive from d+1
+    up = [(d, d + 1) for d in range(n_dev - 1)]   # receive from d-1
+
+    def recv_next(a):
+        """Neighbor-above's plane 0 (zeros on the last device)."""
+        if n_dev == 1:
+            return jnp.zeros_like(a[:, :1])
+        return jax.lax.ppermute(a[:, :1], AXIS, down)
+
+    prec_pieces = fk.to_piece_state(inv_diag[:1].astype(acc), p)
+    p_h = recv_next(prec_pieces)
+
+    g0 = fk.to_piece_state(-b.astype(acc), p)
+    if fold:
+        g0 = fk.fold_state(g0)
+    res0 = jnp.sqrt(jax.lax.psum(
+        jnp.sum(g0[:, :, :p2].astype(acc) ** 2), AXIS))
+    tol = jnp.maximum(jnp.asarray(abs_tol, acc), rel_tol * res0)
+    history = jnp.full((max_iter + 1,), jnp.nan, dtype=acc).at[0].set(res0)
+
+    x_st = jnp.zeros_like(g0)
+    d_st = jnp.zeros(g0.shape, dtype)
+    h_st = jnp.zeros(g0.shape, dtype)
+
+    P0 = prec_pieces[:, :1, :p2]
+    if fold:
+        P0 = jnp.concatenate([P0] * n_rep, axis=-1)
+
+    def cond(state):
+        it, res = state[5], state[6]
+        return (res > tol) & (it < max_iter)
+
+    def body(state):
+        x, g, d, h, scal, it, _, hist = state
+        it = it + 1
+        halo = (recv_next(g), recv_next(d), recv_next(h), p_h)
+        x, g, d, h, s, carry = fk.fused_cg_iteration(
+            op, slab_axis, x, g, d, h, scal, prec_pieces,
+            interpret=interpret, n_rep=n_rep, halo=halo,
+            z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True)
+        # z-carry add-back (the compress ppermute) + exact dot corrections:
+        # only the five h-dependent sums change, by single-plane deltas
+        carry_in = (jnp.zeros_like(carry) if n_dev == 1
+                    else jax.lax.ppermute(carry, AXIS, up))
+        h0_old = h[:, :1].astype(acc)
+        h0_new = (h0_old + carry_in).astype(dtype)
+        h = jnp.concatenate([h0_new, h[:, 1:]], axis=1)
+        delta = h0_new.astype(acc)[:, :, :p2] - h0_old[:, :, :p2]
+        hsum = h0_new.astype(acc)[:, :, :p2] + h0_old[:, :, :p2]
+        dm0 = d[:, :1, :p2].astype(acc)
+        gm0 = g[:, :1, :p2]
+        s = s.at[0].add(jnp.sum(dm0 * delta))          # d.h
+        s = s.at[1].add(jnp.sum(hsum * delta))         # h.h
+        s = s.at[2].add(jnp.sum(gm0 * delta))          # g.h
+        s = s.at[4].add(jnp.sum(gm0 * (P0 * delta)))   # g.Ph
+        s = s.at[5].add(jnp.sum(P0 * hsum * delta))    # h.Ph
+        # the ONE allreduce per iteration (7 fused scalars)
+        s = jax.lax.psum(s, AXIS)
+        scal = jnp.stack(fk.scalar_recurrence(s, scal[0], scal[1], scal[4]))
+        res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
+        return (x, g, d, h, scal, it, res, hist.at[it].set(res))
+
+    scal0 = jnp.zeros((8,), acc).at[4].set(1.0)
+    state = (x_st, g0, d_st, h_st, scal0,
+             jnp.asarray(0, jnp.int32), res0, history)
+    x, g, d, h, scal, it, res, history = (
+        jax.lax.while_loop(cond, body, state))
+    alpha, alpha_old, beta_old = scal[0], scal[6], scal[7]
+    if fold:
+        x = fk.unfold_state(x, n_comp)
+        g = fk.unfold_state(g, n_comp)
+        d = fk.unfold_state(d, n_comp)
+
+    safe_beta_old = jnp.where(beta_old == 0, 1.0, beta_old)
+    da = d.astype(acc)
+    x_odd = x + alpha * da
+    x_even = (x + (alpha + alpha_old / safe_beta_old) * da
+              + (alpha_old / safe_beta_old) * (prec_pieces * g))
+    x = jnp.where(it == 0, x, jnp.where(it % 2 == 1, x_odd, x_even))
+
+    x_lat = fk.from_piece_state(x, p, slab_axis)
+    # restore the replicated-shared-plane slab convention (top plane =
+    # neighbor-above's plane 0; zero on the last device = global top) so
+    # the result is gather_global / dist_vmult compatible
+    top = (jnp.zeros_like(x_lat[:, :1]) if n_dev == 1
+           else jax.lax.ppermute(x_lat[:, :1], AXIS, down))
+    x_lat = jnp.concatenate([x_lat[:, :-1], top], axis=1)
+    return (x_lat[None], it, res, history, res <= tol)

@@ -62,6 +62,8 @@ class DistributedBP4:
     n_cells: int = field(metadata=dict(static=True), default=0)
     n_devices: int = field(metadata=dict(static=True), default=1)
     backend: str = field(metadata=dict(static=True), default="pallas")
+    ncz_global: int = field(metadata=dict(static=True), default=0)
+    """Real global z-cell-layer count (excludes dummy padding layers)."""
 
 
 def _cells_per_slab(layout: DofLayout, n_dev: int) -> int:
@@ -162,6 +164,7 @@ def build_distributed(s: int, degree: int, n_devices: int | None = None,
         n_cells=layout.mesh.n_cells,
         n_devices=D,
         backend=backend,
+        ncz_global=ncz,
     )
     return dist, mesh
 

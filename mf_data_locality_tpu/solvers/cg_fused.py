@@ -31,7 +31,7 @@ def fused_merged_cg_solve(
     abs_tol: float = 1e-15,
     rel_tol: float = 1e-8,
     interpret: bool | None = None,
-    fold: bool = True,
+    fold: bool = False,
 ) -> SolveResult:
     """Solve A x = b (lattice vectors (C, Nz, Ny, Nx)) with the fused kernel.
 

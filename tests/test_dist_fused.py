@@ -1,0 +1,85 @@
+"""Distributed fused-kernel CG: N-device == 1-device parity.
+
+The fused whole-iteration kernel under shard_map must reproduce the
+single-device fused solve exactly (f64): identical iteration counts and
+solutions, across divisible and non-divisible device counts — the
+"multi-node without a cluster" check of SURVEY.md §4(d) for the round-2
+headline solver path.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mf_data_locality_tpu.models import bp4
+from mf_data_locality_tpu.parallel import dist_fused, distributed as dist
+from mf_data_locality_tpu.solvers import cg_fused
+
+
+def _single(s, p, dtype=jnp.float64, precision="highest"):
+    problem = bp4.build(s, p, dtype=dtype, backend="pallas",
+                        precision=precision, windowing="pieces")
+    lataxis = problem.layout.n_nodes_axis
+    b_lat = problem.b.reshape((3,) + lataxis)
+    prec_lat = problem.inv_diag.reshape((1,) + lataxis)
+    res = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat, prec_lat)
+    return res, lataxis
+
+
+@pytest.mark.parametrize("s,p,D", [(6, 2, 4), (6, 1, 8), (6, 3, 2)])
+def test_dist_fused_matches_single(s, p, D):
+    ref, lataxis = _single(s, p)
+    dp, mesh = dist_fused.build_dist_fused(s, p, n_devices=D,
+                                           dtype=jnp.float64)
+    res = dist_fused.solve_fused(dp, mesh)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    assert bool(res.converged)
+    xg = dist.gather_global(res.x, nz=lataxis[0])
+    xr = np.asarray(ref.x)
+    np.testing.assert_allclose(xg, xr,
+                               atol=1e-11 * max(1.0, np.abs(xr).max()))
+    n = int(ref.n_iterations) + 1
+    np.testing.assert_allclose(np.asarray(res.res_history)[:n],
+                               np.asarray(ref.res_history)[:n],
+                               rtol=1e-6, atol=1e-8 * float(ref.res_history[0]))
+
+
+@pytest.mark.parametrize("D", [3, 5])
+def test_dist_fused_nondivisible_devices(D):
+    """ncz % D != 0: trailing dummy layers must not perturb the solve."""
+    s, p = 7, 2  # ncz = 8
+    ref, lataxis = _single(s, p)
+    dp, mesh = dist_fused.build_dist_fused(s, p, n_devices=D,
+                                           dtype=jnp.float64)
+    res = dist_fused.solve_fused(dp, mesh)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    xg = dist.gather_global(res.x, nz=lataxis[0])
+    xr = np.asarray(ref.x)
+    np.testing.assert_allclose(xg, xr,
+                               atol=1e-11 * max(1.0, np.abs(xr).max()))
+
+
+def test_dist_fused_fold_variant():
+    s, p, D = 6, 2, 4
+    ref, lataxis = _single(s, p)
+    dp, mesh = dist_fused.build_dist_fused(s, p, n_devices=D,
+                                           dtype=jnp.float64)
+    res = dist_fused.solve_fused(dp, mesh, fold=True)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    xg = dist.gather_global(res.x, nz=lataxis[0])
+    np.testing.assert_allclose(xg, np.asarray(ref.x), atol=1e-11 * 200.0)
+
+
+def test_dist_fused_bf16_storage_converges():
+    s, p, D = 6, 2, 4
+    p32 = bp4.build(s, p, dtype=jnp.float32, backend="pallas",
+                    windowing="pieces")
+    lataxis = p32.layout.n_nodes_axis
+    r32 = cg_fused.fused_merged_cg_solve(
+        p32.op, lataxis, p32.b.reshape((3,) + lataxis),
+        p32.inv_diag.reshape((1,) + lataxis))
+    dp, mesh = dist_fused.build_dist_fused(s, p, n_devices=D,
+                                           dtype=jnp.bfloat16)
+    res = dist_fused.solve_fused(dp, mesh)
+    assert bool(res.converged)
+    assert abs(int(res.n_iterations) - int(r32.n_iterations)) <= 6
