@@ -173,7 +173,9 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
                      pm_ref, pp_ref,
                      x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
                      gh_ref, dh_ref, hh_ref, ph_ref,
-                     x2_ref, g2_ref, d2_ref, h2_ref, dots_ref, carry_out_ref,
+                     x2_ref, g2_ref, d2_ref, h2_ref,
+                     zg2_ref, zd2_ref, zh2_ref,
+                     dots_ref, carry_out_ref,
                      carry_ref, dacc_ref):
     """One z-cell-layer of the fused CG iteration (see module docstring).
 
@@ -239,11 +241,18 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     d2 = beta * d_f - P_f * g2
     x2_ref[:] = x2.astype(x2_ref.dtype)
     g2_ref[:] = g2[:, :p].astype(g2_ref.dtype)
+    # the Z-plane duplicates (planes at z-cell boundaries, read as the next
+    # iteration's +1 planes) — kept in separate arrays so every state array
+    # is a SINGLE pallas operand and can alias its output buffer (XLA would
+    # otherwise copy all four state arrays back into the while-loop slots
+    # every iteration: measured 118 us/it at p=4 s=13)
+    zg2_ref[:] = g2[:, :1].astype(zg2_ref.dtype)
     # reduced-precision storage: round d through the storage dtype but keep
     # the working copy at acc — bf16 4D reshapes/slices are unsupported
     # Mosaic relayouts, and the _mm precision modes re-round at the matmuls
     d2s = d2 if store == acc else d2.astype(store).astype(acc)
     d2_ref[:] = d2s[:, :p].astype(d2_ref.dtype)
+    zd2_ref[:] = d2s[:, :1].astype(zd2_ref.dtype)
 
     # -- operator apply on d' ----------------------------------------------
     u = d2s.reshape(n_comp * p13, B)
@@ -278,6 +287,7 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         # — the z-overlap contribution owed to the upward neighbor device
         carry_out_ref[:] = v[:, p:p + 1]
     h2_ref[:] = vmain.astype(h2_ref.dtype)
+    zh2_ref[:] = vmain[:, :1].astype(zh2_ref.dtype)
 
     # -- update3b partial dots over the owner (mm) rows ---------------------
     # stored-precision values (rounded through `store`), held at acc
@@ -342,8 +352,14 @@ def scalar_recurrence(s, alpha, beta, parity):
     return (alpha_n, beta_n, c1_n, aob_n, parity_next, res2, alpha, beta)
 
 
+def zplanes_init(v: jax.Array, p: int) -> jax.Array:
+    """Initial Z-plane duplicates for a piece-state array: planes at
+    z-cell-boundary indices 0, p, 2p, ... — (C, ncz, R, B)."""
+    return v[:, ::p]
+
+
 def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
-                       x, g, d, h, scal,
+                       x, g, d, h, zg, zd, zh, scal,
                        prec_pieces: jax.Array,
                        interpret: bool | None = None,
                        n_rep: int = 1,
@@ -352,14 +368,21 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        ncz_global: int | None = None,
                        recurrence: bool = True,
                        want_carry: bool = False,
+                       alias: bool = True,
                        _ablate: tuple = ()):
-    """Run one fused CG iteration; returns (x', g', d', h', scal').
+    """Run one fused CG iteration;
+    returns (x', g', d', h', zg', zd', zh', scal'[, carry]).
 
     ``x, g, d, h``: piece-state arrays (C, ncz*p, p1^2, B); x, g at the
-    accumulation dtype, d, h at the storage dtype.  ``scal``: (8,) array
-    (alpha, beta, c1, aob, parity, res2, alpha_old, beta_old); the kernel
-    returns the next iteration's tuple — the whole scalar recurrence runs
-    in-kernel so iterations chain without intermediate XLA kernels.
+    accumulation dtype, d, h at the storage dtype.  ``zg, zd, zh``:
+    Z-plane duplicate arrays (C, ncz, p1^2, B) holding planes 0, p, 2p, …
+    of the corresponding state (:func:`zplanes_init`) — the kernel reads
+    layer i's +1 plane from Z[i+1] and writes Z'[i] alongside the main
+    block, so every state array appears as exactly ONE pallas operand and
+    aliases its output buffer (in-place while-loop state, no XLA copies).
+    ``scal``: (8,) array (alpha, beta, c1, aob, parity, res2, alpha_old,
+    beta_old); the whole scalar recurrence runs in-kernel so iterations
+    chain without intermediate XLA kernels.
     ``prec_pieces``: (1, ncz*p, p1^2, B).
 
     ``n_rep > 1``: lane-folded form (:func:`fold_state`) — the state arrays
@@ -397,12 +420,25 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                             memory_space=pltpu.VMEM)
 
     def plus_spec(c, lanes=Bs):
-        # the +1 plane; clamped at the last layer (the kernel substitutes
-        # the halo plane there)
+        # the +1 plane of the main state (used only for the preconditioner,
+        # which is read-only — no aliasing conflict); clamped at the last
+        # layer (the kernel substitutes the halo plane there)
         return pl.BlockSpec(
             (c, 1, R, lanes),
             lambda i: (0, jnp.minimum(i * p + p, nzm - 1), 0, 0),
             memory_space=pltpu.VMEM)
+
+    def zplus_spec(c, lanes=Bs):
+        # layer i's +1 plane from the Z-plane array: Z[i+1] (clamped; the
+        # last layer substitutes the halo plane in-kernel)
+        return pl.BlockSpec(
+            (c, 1, R, lanes),
+            lambda i: (0, jnp.minimum(i + 1, ncz - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def zout_spec(c, lanes=Bs):
+        return pl.BlockSpec((c, 1, R, lanes), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     def halo_spec(c, lanes=Bs):
         return pl.BlockSpec((c, 1, R, lanes), lambda i: (0, 0, 0, 0),
@@ -421,6 +457,9 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         main_spec(n_comp),                 # g'
         main_spec(n_comp),                 # d'
         main_spec(n_comp),                 # h'
+        zout_spec(n_comp),                 # zg'
+        zout_spec(n_comp),                 # zd'
+        zout_spec(n_comp),                 # zh'
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     out_shape = [
@@ -428,6 +467,9 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), acc),
         jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), store),
         jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), store),
+        jax.ShapeDtypeStruct((n_comp, ncz, R, Bs), acc),
+        jax.ShapeDtypeStruct((n_comp, ncz, R, Bs), store),
+        jax.ShapeDtypeStruct((n_comp, ncz, R, Bs), store),
         jax.ShapeDtypeStruct((8,), acc),
     ]
     if want_carry:
@@ -445,9 +487,24 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             *head, dots_ref, carry_ref, dacc_ref = refs
             return base(*head, dots_ref, None, carry_ref, dacc_ref)
 
+    # Alias every state operand to its output so the while-loop carried
+    # buffers update in place — XLA otherwise copies all four state arrays
+    # back into the loop slots every iteration (measured 118 us/it at
+    # p=4 s=13, 25% of the iteration).  This is why the +1 planes live in
+    # the separate Z arrays: a buffer passed twice (main + plus view)
+    # cannot be donated without a defensive copy (measured: aliasing the
+    # doubly-passed form ADDED 35 us/it of copies).  Safe in-place: the
+    # grid sweeps z ascending; each Z[i+1] block is fetched before step
+    # i+1 overwrites... (step i reads Z[i+1], step i+1 writes Z'[i+1] only
+    # after its own inputs were fetched).  Operand order: mats, g6, scal,
+    # zoff, pm, pp, x, g, zg, d, zd, h, zh, gh, dh, hh, ph.
+    aliases = ({6: 0, 7: 1, 8: 4, 9: 2, 10: 5, 11: 3, 12: 6}
+               if alias else {})
+
     outs = pl.pallas_call(
         kern,
         grid=(ncz,),
+        input_output_aliases=aliases,
         in_specs=[
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -458,10 +515,10 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             main_spec(1, B), plus_spec(1, B),
-            main_spec(n_comp),                 # x (no plus plane needed)
-            main_spec(n_comp), plus_spec(n_comp),   # g
-            main_spec(n_comp), plus_spec(n_comp),   # d
-            main_spec(n_comp), plus_spec(n_comp),   # h
+            main_spec(n_comp),                      # x (no plus plane)
+            main_spec(n_comp), zplus_spec(n_comp),  # g
+            main_spec(n_comp), zplus_spec(n_comp),  # d
+            main_spec(n_comp), zplus_spec(n_comp),  # h
             halo_spec(n_comp), halo_spec(n_comp), halo_spec(n_comp),
             halo_spec(1, B),
         ],
@@ -476,6 +533,6 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         interpret=interpret,
     )(op.mats, op.gmetric.reshape(6 * q3, ncz, 1, B), scal,
       jnp.asarray(z0, jnp.int32).reshape(1),
-      prec_pieces, prec_pieces, x, g, g, d, d, h, h,
+      prec_pieces, prec_pieces, x, g, zg, d, zd, h, zh,
       g_h, d_h, h_h, p_h)
-    return outs  # (x', g', d', h', scal'[, carry])
+    return outs  # (x', g', d', h', zg', zd', zh', scal'[, carry])

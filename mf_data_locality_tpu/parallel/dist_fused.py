@@ -124,21 +124,24 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
     x_st = jnp.zeros_like(g0)
     d_st = jnp.zeros(g0.shape, dtype)
     h_st = jnp.zeros(g0.shape, dtype)
+    zg0 = fk.zplanes_init(g0, p)
+    zd0 = jnp.zeros(zg0.shape, dtype)
+    zh0 = jnp.zeros(zg0.shape, dtype)
 
     P0 = prec_pieces[:, :1, :p2]
     if fold:
         P0 = jnp.concatenate([P0] * n_rep, axis=-1)
 
     def cond(state):
-        it, res = state[5], state[6]
+        it, res = state[8], state[9]
         return (res > tol) & (it < max_iter)
 
     def body(state):
-        x, g, d, h, scal, it, _, hist = state
+        x, g, d, h, zg, zd, zh, scal, it, _, hist = state
         it = it + 1
         halo = (recv_next(g), recv_next(d), recv_next(h), p_h)
-        x, g, d, h, s, carry = fk.fused_cg_iteration(
-            op, slab_axis, x, g, d, h, scal, prec_pieces,
+        x, g, d, h, zg, zd, zh, s, carry = fk.fused_cg_iteration(
+            op, slab_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
             interpret=interpret, n_rep=n_rep, halo=halo,
             z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True)
         # z-carry add-back (the compress ppermute) + exact dot corrections:
@@ -161,12 +164,13 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
         s = jax.lax.psum(s, AXIS)
         scal = jnp.stack(fk.scalar_recurrence(s, scal[0], scal[1], scal[4]))
         res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
-        return (x, g, d, h, scal, it, res, hist.at[it].set(res))
+        return (x, g, d, h, zg, zd, zh, scal, it, res,
+                hist.at[it].set(res))
 
     scal0 = jnp.zeros((8,), acc).at[4].set(1.0)
-    state = (x_st, g0, d_st, h_st, scal0,
+    state = (x_st, g0, d_st, h_st, zg0, zd0, zh0, scal0,
              jnp.asarray(0, jnp.int32), res0, history)
-    x, g, d, h, scal, it, res, history = (
+    x, g, d, h, zg, zd, zh, scal, it, res, history = (
         jax.lax.while_loop(cond, body, state))
     alpha, alpha_old, beta_old = scal[0], scal[6], scal[7]
     if fold:

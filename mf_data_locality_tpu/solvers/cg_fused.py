@@ -32,6 +32,7 @@ def fused_merged_cg_solve(
     rel_tol: float = 1e-8,
     interpret: bool | None = None,
     fold: bool = False,
+    alias: bool = True,
 ) -> SolveResult:
     """Solve A x = b (lattice vectors (C, Nz, Ny, Nx)) with the fused kernel.
 
@@ -73,27 +74,30 @@ def fused_merged_cg_solve(
     x_st = jnp.zeros_like(g0)
     d_st = jnp.zeros(g0.shape, dtype)
     h_st = jnp.zeros(g0.shape, dtype)
+    zg0 = fk.zplanes_init(g0, p)
+    zd0 = jnp.zeros(zg0.shape, dtype)
+    zh0 = jnp.zeros(zg0.shape, dtype)
 
     def cond(state):
-        it, res = state[5], state[6]
+        it, res = state[8], state[9]
         return (res > tol) & (it < max_iter)
 
     def body(state):
-        x, g, d, h, scal, it, _, hist = state
+        x, g, d, h, zg, zd, zh, scal, it, _, hist = state
         it = it + 1
         # the whole per-iteration scalar recurrence runs inside the kernel;
         # scal' = (alpha, beta, c1, aob, parity, res2, alpha_old, beta_old)
-        x, g, d, h, scal = fk.fused_cg_iteration(
-            op, n_nodes_axis, x, g, d, h, scal, prec_pieces,
-            interpret=interpret, n_rep=n_rep)
+        x, g, d, h, zg, zd, zh, scal = fk.fused_cg_iteration(
+            op, n_nodes_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
+            interpret=interpret, n_rep=n_rep, alias=alias)
         res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
-        return (x, g, d, h, scal, it, res, hist.at[it].set(res))
+        return (x, g, d, h, zg, zd, zh, scal, it, res, hist.at[it].set(res))
 
     # initial scal: alpha = beta = c1 = aob = 0, parity(it=1) = 1
     scal0 = jnp.zeros((8,), acc).at[4].set(1.0)
-    state = (x_st, g0, d_st, h_st, scal0,
+    state = (x_st, g0, d_st, h_st, zg0, zd0, zh0, scal0,
              jnp.asarray(0, jnp.int32), res0, history)
-    x, g, d, h, scal, it, res, history = (
+    x, g, d, h, zg, zd, zh, scal, it, res, history = (
         jax.lax.while_loop(cond, body, state))
     alpha, alpha_old, beta_old = scal[0], scal[6], scal[7]
     if fold:

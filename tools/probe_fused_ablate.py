@@ -46,15 +46,19 @@ def main():
                 ("consistency", "dots", "mask")):
         @jax.jit
         def run(x, g, d, h):
+            zg = fk.zplanes_init(g, p)
+            zz = jnp.zeros_like(zg)
+
             def body(c, _):
-                x, g, d, h = c
-                x, g, d, h, s = fk.fused_cg_iteration(
-                    problem.op, lataxis, x, g, d, h,
+                x, g, d, h, zg, zd, zh = c
+                x, g, d, h, zg, zd, zh, s = fk.fused_cg_iteration(
+                    problem.op, lataxis, x, g, d, h, zg, zd, zh,
                     scal * (1.0 + 0.0 * s0_of(h)), prec_pieces, _ablate=abl)
-                return (x, g, d, h), None
+                return (x, g, d, h, zg, zd, zh), None
             def s0_of(h):
                 return h[0, 0, 0, 0]
-            out, _ = jax.lax.scan(body, (x, g, d, h), None, length=30)
+            out, _ = jax.lax.scan(body, (x, g, d, h, zg, zz, zz), None,
+                                  length=30)
             return out[0].ravel()[0]
         t = timing.time_min_fetch(lambda: run(z, g0, z, z), repeats=3) / 30
         log(f"ablate={','.join(abl) or 'none':28s}: {t*1e6:8.1f} us/it")
