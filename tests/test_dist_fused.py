@@ -70,6 +70,35 @@ def test_dist_fused_fold_variant():
     np.testing.assert_allclose(xg, np.asarray(ref.x), atol=1e-11 * 200.0)
 
 
+def test_dist_fused_x0_start():
+    s, p, D = 6, 2, 4
+    problem = bp4.build(s, p, dtype=jnp.float64, backend="pallas",
+                        windowing="pieces")
+    lataxis = problem.layout.n_nodes_axis
+    rng = np.random.default_rng(5)
+    x0_lat = (jnp.asarray(rng.standard_normal((3,) + lataxis))
+              * problem.op.mask)
+    ref = cg_fused.fused_merged_cg_solve(
+        problem.op, lataxis, problem.b.reshape((3,) + lataxis),
+        problem.inv_diag.reshape((1,) + lataxis), x0=x0_lat)
+    dp, mesh = dist_fused.build_dist_fused(s, p, n_devices=D,
+                                           dtype=jnp.float64)
+    # slab the x0 lattice into the replicated-plane convention
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    Pp = (dp.b.shape[2] - 1)
+    x0_sl = np.stack([np.asarray(x0_lat)[:, d * Pp:d * Pp + Pp + 1]
+                      for d in range(D)])
+    x0_sh = jax.device_put(jnp.asarray(x0_sl),
+                           NamedSharding(mesh, P(dist_fused.AXIS)))
+    res = dist_fused.solve_fused(dp, mesh, x0=x0_sh)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    xg = dist.gather_global(res.x, nz=lataxis[0])
+    xr = np.asarray(ref.x)
+    np.testing.assert_allclose(xg, xr,
+                               atol=1e-10 * max(1.0, np.abs(xr).max()))
+
+
 def test_dist_fused_bf16_storage_converges():
     s, p, D = 6, 2, 4
     p32 = bp4.build(s, p, dtype=jnp.float32, backend="pallas",
