@@ -206,8 +206,11 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     q3 = g6_ref.shape[0] // 6
     B = x_ref.shape[3]
     Bc = B // n_rep  # per-cell lane width of the prec/metric refs
+    Lp = x_ref.shape[1]
+    L = Lp // p  # z-cell layers per grid step
+    nsteps = ncz // L
     i = pl.program_id(0)
-    last = i == ncz - 1
+    last = i == nsteps - 1
 
     del ncy  # geometry comes via the mask helper
 
@@ -220,98 +223,122 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     c1 = scal_ref[2]
     aob = scal_ref[3]
 
-    mask = rep(_dirichlet_mask_pieces(p, dims, Bc, i, z0=z0,
-                                      ncz_global=ncz_g)).astype(acc)
-    if "mask" in ablate:
-        mask = jnp.ones_like(mask)
-
-    def full(main_ref, plus_ref, halo_ref):
-        plus = jnp.where(last, halo_ref[:].astype(acc),
-                         plus_ref[:].astype(acc))
-        return jnp.concatenate([main_ref[:].astype(acc), plus], axis=1)
-
-    g_f = full(g_ref, gp_ref, gh_ref)        # (C, p1, R, B)
-    d_f = full(d_ref, dp_ref, dh_ref)
-    h_f = full(h_ref, hp_ref, hh_ref)
-    P_f = rep(full(pm_ref, pp_ref, ph_ref))  # (1, p1, R, B)
-
-    # -- update4b (pre-sweep callback): delayed-x + g,d recurrences --------
-    x2 = x_ref[:].astype(acc) + c1 * d_f[:, :p] + aob * (P_f[:, :p] * g_f[:, :p])
-    g2 = g_f + alpha * h_f
-    d2 = beta * d_f - P_f * g2
-    x2_ref[:] = x2.astype(x2_ref.dtype)
-    g2_ref[:] = g2[:, :p].astype(g2_ref.dtype)
-    # the Z-plane duplicates (planes at z-cell boundaries, read as the next
-    # iteration's +1 planes) — kept in separate arrays so every state array
-    # is a SINGLE pallas operand and can alias its output buffer (XLA would
-    # otherwise copy all four state arrays back into the while-loop slots
-    # every iteration: measured 118 us/it at p=4 s=13)
-    zg2_ref[:] = g2[:, :1].astype(zg2_ref.dtype)
-    # reduced-precision storage: round d through the storage dtype but keep
-    # the working copy at acc — bf16 4D reshapes/slices are unsupported
-    # Mosaic relayouts, and the _mm precision modes re-round at the matmuls
-    d2s = d2 if store == acc else d2.astype(store).astype(acc)
-    d2_ref[:] = d2s[:, :p].astype(d2_ref.dtype)
-    zd2_ref[:] = d2s[:, :1].astype(zd2_ref.dtype)
-
-    # -- operator apply on d' ----------------------------------------------
-    u = d2s.reshape(n_comp * p13, B)
     m = mats_ref[:]
-    g6 = g6_ref[:].reshape(6 * q3, Bc)
-    g00, g01, g02 = (rep(g6[:q3]), rep(g6[q3:2 * q3]),
-                     rep(g6[2 * q3:3 * q3]))
-    g11, g12, g22 = (rep(g6[3 * q3:4 * q3]), rep(g6[4 * q3:5 * q3]),
-                     rep(g6[5 * q3:]))
+    g6_all = g6_ref[:].reshape(6 * q3, L, Bc)
     dn_t = (((0,), (0,)), ((), ()))
-    vs = []
-    for c in range(n_comp):
-        u_c = u[c * p13:(c + 1) * p13, :]
-        gr = _mm(m, u_c, precision).reshape(3, q3, B)
-        t0 = g00 * gr[0] + g01 * gr[1] + g02 * gr[2]
-        t1 = g01 * gr[0] + g11 * gr[1] + g12 * gr[2]
-        t2 = g02 * gr[0] + g12 * gr[1] + g22 * gr[2]
-        vs.append(_mm(m, jnp.concatenate([t0, t1, t2], axis=0),
-                      precision, dims=dn_t))
-    v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
-    v = v * mask[None]
 
-    # -- post-sweep: piece consistency, z carry, h write --------------------
-    if "consistency" not in ablate:
-        v = _make_consistent(v, p, ncx)
-    first = v[:, :1] + jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
-    vmain = (first if p == 1
-             else jnp.concatenate([first, v[:, 1:p]], axis=1))
-    carry_ref[:] = v[:, p]
+    def layer(j, carry_in):
+        """One z-cell layer (sublayer j of this grid step).
+
+        Returns (vmain, g2m, d2sm, Pm, part, carry_out) — the owned-plane
+        values, the per-lane dot partials, and the z-carry for layer j+1.
+        """
+        l_ = i * L + j  # this layer's index within the device slab
+        sl = slice(j * p, (j + 1) * p)
+
+        mask = rep(_dirichlet_mask_pieces(p, dims, Bc, l_, z0=z0,
+                                          ncz_global=ncz_g)).astype(acc)
+        if "mask" in ablate:
+            mask = jnp.ones_like(mask)
+
+        def full(main_ref, z_ref, halo_ref):
+            if j < L - 1:
+                # the +1 plane is the next sublayer's first plane,
+                # already resident in this step's main block (pre-update)
+                plus = main_ref[:, (j + 1) * p:(j + 1) * p + 1].astype(acc)
+            else:
+                plus = jnp.where(last, halo_ref[:].astype(acc),
+                                 z_ref[:].astype(acc))
+            return jnp.concatenate([main_ref[:, sl].astype(acc), plus],
+                                   axis=1)
+
+        g_f = full(g_ref, gp_ref, gh_ref)        # (C, p1, R, B)
+        d_f = full(d_ref, dp_ref, dh_ref)
+        h_f = full(h_ref, hp_ref, hh_ref)
+        P_f = rep(full(pm_ref, pp_ref, ph_ref))  # (1, p1, R, B)
+
+        # -- update4b (pre-sweep callback): delayed-x + g,d recurrences ----
+        x2 = (x_ref[:, sl].astype(acc) + c1 * d_f[:, :p]
+              + aob * (P_f[:, :p] * g_f[:, :p]))
+        g2 = g_f + alpha * h_f
+        d2 = beta * d_f - P_f * g2
+        x2_ref[:, sl] = x2.astype(x2_ref.dtype)
+        g2_ref[:, sl] = g2[:, :p].astype(g2_ref.dtype)
+        # the Z-plane duplicates (planes at z-cell boundaries, read as the
+        # next iteration's +1 planes) — kept in separate arrays so every
+        # state array is a SINGLE pallas operand and can alias its output
+        # buffer (XLA would otherwise copy all four state arrays back into
+        # the while-loop slots every iteration: measured 118 us/it)
+        zg2_ref[:, j:j + 1] = g2[:, :1].astype(zg2_ref.dtype)
+        # reduced-precision storage: round d through the storage dtype but
+        # keep the working copy at acc — bf16 4D reshapes/slices are
+        # unsupported Mosaic relayouts; _mm re-rounds at the matmuls
+        d2s = d2 if store == acc else d2.astype(store).astype(acc)
+        d2_ref[:, sl] = d2s[:, :p].astype(d2_ref.dtype)
+        zd2_ref[:, j:j + 1] = d2s[:, :1].astype(zd2_ref.dtype)
+
+        # -- operator apply on d' ------------------------------------------
+        u = d2s.reshape(n_comp * p13, B)
+        g6 = g6_all[:, j]
+        g00, g01, g02 = (rep(g6[:q3]), rep(g6[q3:2 * q3]),
+                         rep(g6[2 * q3:3 * q3]))
+        g11, g12, g22 = (rep(g6[3 * q3:4 * q3]), rep(g6[4 * q3:5 * q3]),
+                         rep(g6[5 * q3:]))
+        vs = []
+        for c in range(n_comp):
+            u_c = u[c * p13:(c + 1) * p13, :]
+            gr = _mm(m, u_c, precision).reshape(3, q3, B)
+            t0 = g00 * gr[0] + g01 * gr[1] + g02 * gr[2]
+            t1 = g01 * gr[0] + g11 * gr[1] + g12 * gr[2]
+            t2 = g02 * gr[0] + g12 * gr[1] + g22 * gr[2]
+            vs.append(_mm(m, jnp.concatenate([t0, t1, t2], axis=0),
+                          precision, dims=dn_t))
+        v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
+        v = v * mask[None]
+
+        # -- post-sweep: piece consistency, z carry, h write ----------------
+        if "consistency" not in ablate:
+            v = _make_consistent(v, p, ncx)
+        first = v[:, :1] + carry_in
+        vmain = (first if p == 1
+                 else jnp.concatenate([first, v[:, 1:p]], axis=1))
+        h2_ref[:, sl] = vmain.astype(h2_ref.dtype)
+        zh2_ref[:, j:j + 1] = vmain[:, :1].astype(zh2_ref.dtype)
+
+        # -- update3b partial dots over the owner (mm) rows -----------------
+        # stored-precision values (rounded through `store`), held at acc
+        hs = vmain if store == acc else vmain.astype(store).astype(acc)
+        hm = hs[:, :, :p2]
+        gm = g2[:, :p, :p2]
+        dm = d2s[:, :p, :p2]
+        Pm = P_f[:, :p, :p2]
+        ph = Pm * hm
+        pg = Pm * gm
+
+        def red(a, b_):
+            return jnp.sum(a * b_, axis=(0, 1, 2))   # (B,)
+
+        if "dots" in ablate:
+            part = jnp.zeros((8, B), acc) + hm[0, 0, 0]
+        else:
+            part = jnp.stack([
+                red(dm, hm), red(hm, hm), red(gm, hm), red(gm, gm),
+                red(gm, ph), red(hm, ph), red(gm, pg),
+                jnp.zeros((B,), acc),
+            ])
+        return part, v[:, p]
+
+    carry_in = jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
+    total = jnp.where(i > 0, dacc_ref[:], 0.0)
+    for j in range(L):
+        part, carry_plane = layer(j, carry_in)
+        total = total + part
+        carry_in = carry_plane[:, None]
+    carry_ref[:] = carry_plane
     if carry_out_ref is not None:
         # constant-index output block: the final (last-layer) write survives
         # — the z-overlap contribution owed to the upward neighbor device
-        carry_out_ref[:] = v[:, p:p + 1]
-    h2_ref[:] = vmain.astype(h2_ref.dtype)
-    zh2_ref[:] = vmain[:, :1].astype(zh2_ref.dtype)
-
-    # -- update3b partial dots over the owner (mm) rows ---------------------
-    # stored-precision values (rounded through `store`), held at acc
-    hs = vmain if store == acc else vmain.astype(store).astype(acc)
-    hm = hs[:, :, :p2]
-    gm = g2[:, :p, :p2]
-    dm = d2s[:, :p, :p2]
-    Pm = P_f[:, :p, :p2]
-    ph = Pm * hm
-    pg = Pm * gm
-
-    def red(a, b_):
-        return jnp.sum(a * b_, axis=(0, 1, 2))   # (B,)
-
-    if "dots" in ablate:
-        part = jnp.zeros((8, B), acc) + hm[0, 0, 0]
-    else:
-        part = jnp.stack([
-            red(dm, hm), red(hm, hm), red(gm, hm), red(gm, gm),
-            red(gm, ph), red(hm, ph), red(gm, pg),
-            jnp.zeros((B,), acc),
-        ])
-    acc_prev = jnp.where(i > 0, dacc_ref[:], 0.0)
-    total = acc_prev + part
+        carry_out_ref[:] = carry_plane[:, None]
     dacc_ref[:] = total
 
     # -- in-kernel scalar recurrence (solver_cg_optimized.h:249-295) --------
@@ -369,6 +396,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        recurrence: bool = True,
                        want_carry: bool = False,
                        alias: bool = True,
+                       layers_per_step: int = 1,
                        _ablate: tuple = ()):
     """Run one fused CG iteration;
     returns (x', g', d', h', zg', zd', zh', scal'[, carry]).
@@ -414,30 +442,34 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     acc = x.dtype
     store = d.dtype
     nzm = ncz * p
+    L = layers_per_step
+    if L < 1 or ncz % L:
+        L = 1  # fall back: the grid must tile the layer count exactly
+    nsteps = ncz // L
 
     def main_spec(c, lanes=Bs):
-        return pl.BlockSpec((c, p, R, lanes), lambda i: (0, i, 0, 0),
+        return pl.BlockSpec((c, L * p, R, lanes), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def plus_spec(c, lanes=Bs):
         # the +1 plane of the main state (used only for the preconditioner,
         # which is read-only — no aliasing conflict); clamped at the last
-        # layer (the kernel substitutes the halo plane there)
+        # step (the kernel substitutes the halo plane there)
         return pl.BlockSpec(
             (c, 1, R, lanes),
-            lambda i: (0, jnp.minimum(i * p + p, nzm - 1), 0, 0),
+            lambda i: (0, jnp.minimum(i * (L * p) + L * p, nzm - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
     def zplus_spec(c, lanes=Bs):
-        # layer i's +1 plane from the Z-plane array: Z[i+1] (clamped; the
-        # last layer substitutes the halo plane in-kernel)
+        # the last sublayer's +1 plane from the Z-plane array: Z[(i+1)*L]
+        # (clamped; the last step substitutes the halo plane in-kernel)
         return pl.BlockSpec(
             (c, 1, R, lanes),
-            lambda i: (0, jnp.minimum(i + 1, ncz - 1), 0, 0),
+            lambda i: (0, jnp.minimum(i * L + L, ncz - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
     def zout_spec(c, lanes=Bs):
-        return pl.BlockSpec((c, 1, R, lanes), lambda i: (0, i, 0, 0),
+        return pl.BlockSpec((c, L, R, lanes), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def halo_spec(c, lanes=Bs):
@@ -503,14 +535,14 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
 
     outs = pl.pallas_call(
         kern,
-        grid=(ncz,),
+        grid=(nsteps,),
         input_output_aliases=aliases,
         in_specs=[
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             # 3D metric (6q^3, ncz, B): lane-dim block equals the array dim
             # (Mosaic divisible-or-full constraint; B < 128 for s < 10)
-            pl.BlockSpec((6 * q3, 1, 1, B), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((6 * q3, L, 1, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -33,6 +33,7 @@ def fused_merged_cg_solve(
     interpret: bool | None = None,
     fold: bool = False,
     alias: bool = True,
+    layers_per_step: int = 1,
 ) -> SolveResult:
     """Solve A x = b (lattice vectors (C, Nz, Ny, Nx)) with the fused kernel.
 
@@ -89,7 +90,8 @@ def fused_merged_cg_solve(
         # scal' = (alpha, beta, c1, aob, parity, res2, alpha_old, beta_old)
         x, g, d, h, zg, zd, zh, scal = fk.fused_cg_iteration(
             op, n_nodes_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
-            interpret=interpret, n_rep=n_rep, alias=alias)
+            interpret=interpret, n_rep=n_rep, alias=alias,
+            layers_per_step=layers_per_step)
         res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
         return (x, g, d, h, zg, zd, zh, scal, it, res, hist.at[it].set(res))
 
