@@ -7,9 +7,6 @@ Appends to tools/PROBE_FUSED.txt.
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import os
 import sys
 
@@ -23,27 +20,11 @@ def log(msg):
 
 
 def copies_in_trace(log_dir):
-    paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
-                      recursive=True)
-    if not paths:
+    from mf_data_locality_tpu.utils import trace_summary
+
+    if not trace_summary.op_durations(log_dir):
         return None
-    with gzip.open(sorted(paths)[-1], "rt") as f:
-        data = json.load(f)
-    events = data.get("traceEvents", [])
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    tot = 0.0
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        pname = pid_names.get(e.get("pid"), "")
-        if "TPU" not in pname and "Device" not in pname:
-            continue
-        if e.get("name", "").startswith("copy."):
-            tot += e.get("dur", 0.0)
-    return tot
+    return trace_summary.total_matching(log_dir, "copy.")
 
 
 def main():

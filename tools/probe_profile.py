@@ -6,9 +6,6 @@ Appends results to tools/PROBE_FUSED.txt.
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import os
 import sys
 
@@ -22,34 +19,16 @@ def log(msg):
 
 
 def summarize_trace(log_dir):
-    """Parse xplane/trace files and print top ops by total duration."""
-    paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
-                      recursive=True)
-    if not paths:
-        log(f"# no trace.json.gz under {log_dir}: "
-            f"{[os.path.basename(x) for x in glob.glob(os.path.join(log_dir, '**', '*'), recursive=True)][:10]}")
+    """Print top device ops by total duration (utils.trace_summary)."""
+    from mf_data_locality_tpu.utils import trace_summary
+
+    top = trace_summary.top_ops(log_dir)
+    if not top:
+        log(f"# no trace.json.gz under {log_dir}")
         return
-    with gzip.open(paths[0], "rt") as f:
-        data = json.load(f)
-    events = data.get("traceEvents", [])
-    # find TPU device tracks (pid names containing 'TPU' / 'Device')
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    dur_by_name = {}
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        pname = pid_names.get(e.get("pid"), "")
-        if "TPU" not in pname and "Device" not in pname:
-            continue
-        nm = e.get("name", "?")[:60]
-        dur_by_name[nm] = dur_by_name.get(nm, 0.0) + e.get("dur", 0.0)
-    top = sorted(dur_by_name.items(), key=lambda kv: -kv[1])[:25]
     log("# trace top ops (us total over captured window):")
     for nm, d in top:
-        log(f"#   {d:12.1f}  {nm}")
+        log(f"#   {d:12.1f}  {nm[:60]}")
 
 
 def main():
