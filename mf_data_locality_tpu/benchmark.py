@@ -113,9 +113,25 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     solver_time = timing.time_min_fetch(
         lambda: solve_jit(*args).res_norm, repeats=solve_repeats, warmup=0)
 
-    matvec_time = timing.time_scan_fetch(
-        problem.a_apply_full, problem.b,
-        inner=matvec_inner, repeats=matvec_repeats)
+    if solver == "fused":
+        # the operator's native matvec for the fused path: input/output
+        # stay in piece-state + Z-plane form across the 50-apply chain —
+        # the analog of the reference's vmult on its native vector layout
+        # (benchmark.h:204-215; zero windowing round trips)
+        from mf_data_locality_tpu.ops import cg_fused_kernel as _fk
+
+        lataxis = problem.layout.n_nodes_axis
+        degree_p = degree
+        d0 = _fk.to_piece_state(
+            problem.b.reshape((problem.n_components,) + lataxis), degree_p)
+        zd0 = _fk.zplanes_init(d0, degree_p)
+        matvec_time = timing.time_scan_fetch(
+            lambda c: _fk.piece_vmult(problem.op, lataxis, c[0], c[1]),
+            (d0, zd0), inner=matvec_inner, repeats=matvec_repeats)
+    else:
+        matvec_time = timing.time_scan_fetch(
+            problem.a_apply_full, problem.b,
+            inner=matvec_inner, repeats=matvec_repeats)
 
     if verbose:
         hist = [float(r) for r in result.res_history[: n_it + 1]]

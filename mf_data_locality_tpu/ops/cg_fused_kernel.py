@@ -167,6 +167,42 @@ def _make_consistent(v: jax.Array, p: int, ncx: int) -> jax.Array:
     return jnp.concatenate(rows, axis=2)
 
 
+def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
+                    mask):
+    """The BP4 operator on one z-cell layer of piece-form values.
+
+    ``m``: (3q^3, p1^3) stacked gradient matrices; ``g6``: (6q^3, Bc)
+    metric entries of this layer; ``u4``: (C, p1, p1^2, B) input values;
+    ``mask``: Dirichlet mask.  Returns the masked, y/x-consistent output
+    (C, p1, p1^2, B) — shared by the whole-iteration CG kernel and the
+    piece-resident matvec kernel.
+    """
+    p1 = p + 1
+    p13 = m.shape[1]
+    q3 = m.shape[0] // 3
+    B = u4.shape[3]
+    u = u4.reshape(n_comp * p13, B)
+    g00, g01, g02 = (rep(g6[:q3]), rep(g6[q3:2 * q3]),
+                     rep(g6[2 * q3:3 * q3]))
+    g11, g12, g22 = (rep(g6[3 * q3:4 * q3]), rep(g6[4 * q3:5 * q3]),
+                     rep(g6[5 * q3:]))
+    dn_t = (((0,), (0,)), ((), ()))
+    vs = []
+    for c in range(n_comp):
+        u_c = u[c * p13:(c + 1) * p13, :]
+        gr = _mm(m, u_c, precision).reshape(3, q3, B)
+        t0 = g00 * gr[0] + g01 * gr[1] + g02 * gr[2]
+        t1 = g01 * gr[0] + g11 * gr[1] + g12 * gr[2]
+        t2 = g02 * gr[0] + g12 * gr[1] + g22 * gr[2]
+        vs.append(_mm(m, jnp.concatenate([t0, t1, t2], axis=0),
+                      precision, dims=dn_t))
+    v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
+    v = v * mask[None]
+    if "consistency" not in ablate:
+        v = _make_consistent(v, p, ncx)
+    return v
+
+
 def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
                      ncz_g, recurrence,
                      mats_ref, g6_ref, scal_ref, zoff_ref,
@@ -225,13 +261,12 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
 
     m = mats_ref[:]
     g6_all = g6_ref[:].reshape(6 * q3, L, Bc)
-    dn_t = (((0,), (0,)), ((), ()))
 
     def layer(j, carry_in):
         """One z-cell layer (sublayer j of this grid step).
 
-        Returns (vmain, g2m, d2sm, Pm, part, carry_out) — the owned-plane
-        values, the per-lane dot partials, and the z-carry for layer j+1.
+        Returns (part, carry_plane) — the per-lane dot partials and the
+        z-carry plane owed to layer j+1.
         """
         l_ = i * L + j  # this layer's index within the device slab
         sl = slice(j * p, (j + 1) * p)
@@ -278,27 +313,8 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         zd2_ref[:, j:j + 1] = d2s[:, :1].astype(zd2_ref.dtype)
 
         # -- operator apply on d' ------------------------------------------
-        u = d2s.reshape(n_comp * p13, B)
-        g6 = g6_all[:, j]
-        g00, g01, g02 = (rep(g6[:q3]), rep(g6[q3:2 * q3]),
-                         rep(g6[2 * q3:3 * q3]))
-        g11, g12, g22 = (rep(g6[3 * q3:4 * q3]), rep(g6[4 * q3:5 * q3]),
-                         rep(g6[5 * q3:]))
-        vs = []
-        for c in range(n_comp):
-            u_c = u[c * p13:(c + 1) * p13, :]
-            gr = _mm(m, u_c, precision).reshape(3, q3, B)
-            t0 = g00 * gr[0] + g01 * gr[1] + g02 * gr[2]
-            t1 = g01 * gr[0] + g11 * gr[1] + g12 * gr[2]
-            t2 = g02 * gr[0] + g12 * gr[1] + g22 * gr[2]
-            vs.append(_mm(m, jnp.concatenate([t0, t1, t2], axis=0),
-                          precision, dims=dn_t))
-        v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
-        v = v * mask[None]
-
-        # -- post-sweep: piece consistency, z carry, h write ----------------
-        if "consistency" not in ablate:
-            v = _make_consistent(v, p, ncx)
+        v = _operator_block(precision, n_comp, p, ncx, ablate,
+                            m, g6_all[:, j], rep, d2s, mask)
         first = v[:, :1] + carry_in
         vmain = (first if p == 1
                  else jnp.concatenate([first, v[:, 1:p]], axis=1))
@@ -377,6 +393,133 @@ def scalar_recurrence(s, alpha, beta, parity):
     aob_n = jnp.where(is_pay, alpha / safe_b, 0.0)
     c1_n = jnp.where(is_pay, alpha_n + aob_n, 0.0)
     return (alpha_n, beta_n, c1_n, aob_n, parity_next, res2, alpha, beta)
+
+
+def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
+                   mats_ref, g6_ref, zoff_ref,
+                   d_ref, zd_ref, dh_ref,
+                   h2_ref, zh2_ref,
+                   carry_ref):
+    """Piece-resident operator apply (the fused kernel minus CG updates).
+
+    The operator's native matvec: input and output stay in piece-state +
+    Z-plane form, so 50 back-to-back applies (the reference's matvec
+    timing protocol, ``benchmark.h:204-215``) run with zero windowing
+    round trips — like the reference's vmult on its native vector layout.
+    """
+    ncz, ncy, ncx = dims
+    z0 = zoff_ref[0]
+    q3 = g6_ref.shape[0] // 6
+    B = d_ref.shape[3]
+    Bc = B // n_rep
+    Lp = d_ref.shape[1]
+    L = Lp // p
+    nsteps = ncz // L
+    i = pl.program_id(0)
+    last = i == nsteps - 1
+    del ncy
+
+    def rep(a):
+        return a if n_rep == 1 else jnp.concatenate([a] * n_rep, axis=-1)
+
+    m = mats_ref[:]
+    g6_all = g6_ref[:].reshape(6 * q3, L, Bc)
+
+    carry_in = jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
+    for j in range(L):
+        l_ = i * L + j
+        sl = slice(j * p, (j + 1) * p)
+        mask = rep(_dirichlet_mask_pieces(p, dims, Bc, l_, z0=z0,
+                                          ncz_global=ncz_g)).astype(acc)
+        if j < L - 1:
+            plus = d_ref[:, (j + 1) * p:(j + 1) * p + 1].astype(acc)
+        else:
+            plus = jnp.where(last, dh_ref[:].astype(acc),
+                             zd_ref[:].astype(acc))
+        d_f = jnp.concatenate([d_ref[:, sl].astype(acc), plus], axis=1)
+        v = _operator_block(precision, n_comp, p, ncx, ablate,
+                            m, g6_all[:, j], rep, d_f, mask)
+        first = v[:, :1] + carry_in
+        vmain = (first if p == 1
+                 else jnp.concatenate([first, v[:, 1:p]], axis=1))
+        h2_ref[:, sl] = vmain.astype(h2_ref.dtype)
+        zh2_ref[:, j:j + 1] = vmain[:, :1].astype(zh2_ref.dtype)
+        carry_in = v[:, p][:, None]
+    carry_ref[:] = v[:, p]
+
+
+def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
+                halo: jax.Array | None = None,
+                z0: int = 0, ncz_global: int | None = None,
+                interpret: bool | None = None,
+                layers_per_step: int = 1):
+    """Operator apply on piece-state vectors: (d, zd) -> (h, zh).
+
+    ``d``: (C, ncz*p, p1^2, B) piece-state input (boundary-zero invariant
+    assumed, as for all solver state); ``zd``: its Z-plane duplicates.
+    ``halo``: the +1 plane past the last layer for distributed slabs
+    (zeros substituted when omitted).  The output pair feeds straight back
+    in, so repeated applies never leave the operator's native layout.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p1 = round(op.mats.shape[1] ** (1 / 3))
+    p = p1 - 1
+    nz, ny, nx = n_nodes_axis
+    ncz, ncy, ncx = (nz - 1) // p, (ny - 1) // p, (nx - 1) // p
+    B = ncy * ncx
+    R = p1 * p1
+    q3 = op.w3.shape[0]
+    p13 = op.mats.shape[1]
+    n_comp = d.shape[0]
+    store = d.dtype
+    acc = jnp.float32 if store == jnp.bfloat16 else store
+    nzm = ncz * p
+    L = layers_per_step
+    if L < 1 or ncz % L:
+        L = 1
+    nsteps = ncz // L
+
+    if halo is None:
+        halo = jnp.zeros((n_comp, 1, R, B), store)
+
+    outs = pl.pallas_call(
+        functools.partial(_matvec_kernel, op.precision, n_comp, p,
+                          (ncz, ncy, ncx), acc, (), 1,
+                          ncz_global if ncz_global is not None else ncz),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * q3, L, 1, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_comp, L * p, R, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, 1, R, B),
+                         lambda i: (0, jnp.minimum(i * L + L, ncz - 1),
+                                    0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, 1, R, B), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_comp, L * p, R, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_comp, L, R, B), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_comp, nzm, R, B), store),
+            jax.ShapeDtypeStruct((n_comp, ncz, R, B), store),
+        ],
+        scratch_shapes=[pltpu.VMEM((n_comp, R, B), acc)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(op.mats, op.gmetric.reshape(6 * q3, ncz, 1, B),
+      jnp.asarray(z0, jnp.int32).reshape(1), d, zd, halo)
+    return outs  # (h, zh)
 
 
 def zplanes_init(v: jax.Array, p: int) -> jax.Array:

@@ -74,7 +74,8 @@ def time_scan_fetch(step: Callable[[jax.Array], jax.Array], x0: jax.Array,
             def body(c, _):
                 return step(c), None
             out, _ = jax.lax.scan(body, x, None, length=length)
-            return out.ravel()[0]
+            # x0/step may carry a pytree (e.g. piece-state + Z-planes)
+            return jax.tree.leaves(out)[0].ravel()[0]
         return chain
 
     chain = make_chain(inner)
