@@ -79,6 +79,26 @@ def test_fold_state_roundtrip():
                                   np.asarray(v))
 
 
+@pytest.mark.parametrize("s,p,L", [(5, 1, 1), (6, 2, 1), (6, 2, 2),
+                                   (6, 3, 2)])
+def test_piece_vmult_matches_lattice(s, p, L):
+    """Piece-resident matvec == lattice vmult (boundary-zero input)."""
+    import mf_data_locality_tpu.ops.laplace_pallas as lp
+
+    problem, lataxis, _, _ = _setup(s, p)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((3,) + lataxis)) * problem.op.mask
+    ref = lp.vmult(problem.op, u, constrained_identity=False)
+    dpc = fk.to_piece_state(u, p)
+    zd = fk.zplanes_init(dpc, p)
+    h, zh = fk.piece_vmult(problem.op, lataxis, dpc, zd, layers_per_step=L)
+    h_lat = fk.from_piece_state(h, p, lataxis)
+    np.testing.assert_allclose(np.asarray(h_lat), np.asarray(ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(zh), np.asarray(h)[:, ::p],
+                               atol=0)
+
+
 def test_zplanes_init_selects_boundary_planes():
     rng = np.random.default_rng(11)
     p = 3
