@@ -59,7 +59,7 @@ class RunResult:
 def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             backend: str = "structured", verbose: bool = False,
             precision: str = "highest", windowing: str = "reshape",
-            metric_dtype=None,
+            metric_dtype=None, layers_per_step: int = 1,
             solve_repeats: int = 4, matvec_repeats: int = 2,
             matvec_inner: int = 50) -> RunResult:
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``)."""
@@ -99,7 +99,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             lataxis = problem.layout.n_nodes_axis
             return cg_fused.fused_merged_cg_solve(
                 op, lataxis, b.reshape((problem.n_components,) + lataxis),
-                inv_diag.reshape((1,) + lataxis))
+                inv_diag.reshape((1,) + lataxis),
+                layers_per_step=layers_per_step)
         raw = partial(vmult_fn, op, constrained_identity=(solver == "baseline"))
         a = raw if lat is None else (lambda u: raw(u.reshape(lat)).reshape(u.shape))
         if solver == "merged":
@@ -126,7 +127,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             problem.b.reshape((problem.n_components,) + lataxis), degree_p)
         zd0 = _fk.zplanes_init(d0, degree_p)
         matvec_time = timing.time_scan_fetch(
-            lambda c: _fk.piece_vmult(problem.op, lataxis, c[0], c[1]),
+            lambda c: _fk.piece_vmult(problem.op, lataxis, c[0], c[1],
+                                      layers_per_step=layers_per_step),
             (d0, zd0), inner=matvec_inner, repeats=matvec_repeats)
     else:
         matvec_time = timing.time_scan_fetch(
@@ -246,6 +248,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="pallas lattice<->cell-batch windowing strategy")
     ap.add_argument("--metric-dtype", choices=["f32", "bf16"], default="f32",
                     help="storage dtype of the precomputed metric stream")
+    ap.add_argument("--layers-per-step", type=int, default=1,
+                    help="z-cell layers per fused-kernel grid step")
     ap.add_argument("--overlap", action="store_true",
                     help="overlap halo exchange with interior compute "
                          "(distributed path)")
@@ -271,7 +275,8 @@ def main(argv: list[str] | None = None) -> None:
             r = run_one(args.degree, s, solver=args.solver, dtype=dtype,
                         backend=args.backend, verbose=not args.compact,
                         precision=args.precision, windowing=args.windowing,
-                        metric_dtype=md)
+                        metric_dtype=md,
+                        layers_per_step=args.layers_per_step)
         print(r.row() + ("" if r.converged else "   [not converged]"))
 
 
