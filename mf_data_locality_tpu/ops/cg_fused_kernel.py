@@ -213,7 +213,11 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
                      zg2_ref, zd2_ref, zh2_ref,
                      dots_ref, carry_out_ref,
                      carry_ref, dacc_ref):
-    """One z-cell-layer of the fused CG iteration (see module docstring).
+    """One grid step (L z-cell layers) of the fused CG iteration.
+
+    See the module docstring for the iteration structure; L is derived
+    from the block shape (``layers_per_step``), sublayers run unrolled
+    with the z-carry threading through registers.
 
     ``n_rep > 1`` is the lane-folded form: the state refs carry n_rep
     components concatenated along the lane axis (n_comp == 1 then), while
