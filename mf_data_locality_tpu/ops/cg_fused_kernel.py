@@ -264,7 +264,10 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     aob = scal_ref[3]
 
     m = mats_ref[:]
-    g6_all = g6_ref[:].reshape(6 * q3, L, Bc)
+    # upcast before reshape/slice: bf16 sublane-collapsing shape casts are
+    # expensive (or unsupported) Mosaic relayouts; the metric multiplies
+    # into f32 MXU results anyway
+    g6_all = g6_ref[:].astype(acc).reshape(6 * q3, L, Bc)
 
     def layer(j, carry_in):
         """One z-cell layer (sublayer j of this grid step).
@@ -427,7 +430,7 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
         return a if n_rep == 1 else jnp.concatenate([a] * n_rep, axis=-1)
 
     m = mats_ref[:]
-    g6_all = g6_ref[:].reshape(6 * q3, L, Bc)
+    g6_all = g6_ref[:].astype(acc).reshape(6 * q3, L, Bc)
 
     carry_in = jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
     for j in range(L):
