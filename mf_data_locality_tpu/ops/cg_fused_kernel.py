@@ -167,15 +167,60 @@ def _make_consistent(v: jax.Array, p: int, ncx: int) -> jax.Array:
     return jnp.concatenate(rows, axis=2)
 
 
+def _idx_mm(ky: int, kx: int, p: int) -> int:
+    """Row index of node (ky, kx), ky, kx < p, in the mm piece."""
+    return ky * p + kx
+
+
+def _expand_mm(u: jax.Array, p: int, ncx: int) -> jax.Array:
+    """(…, p^2, B) mm-only piece values -> (…, p1^2, B) full piece rows.
+
+    The duplicated rows are reconstructed by lane-rolls: the kx = p copy
+    of cell (cy, cx) equals the kx = 0 copy of cell (cy, cx+1) (roll -1),
+    etc.  No masking is needed: every roll wraparound imports the value of
+    an x=0 / y=0 node into an x=max / y=max copy, and BOTH are zero by the
+    solver state's Dirichlet-zero invariant.
+    """
+    p2 = p * p
+    mm = u[..., :p2, :]
+    mp_ = jnp.concatenate(
+        [jnp.roll(mm[..., _idx_mm(ky, 0, p):_idx_mm(ky, 0, p) + 1, :],
+                  -1, axis=-1) for ky in range(p)], axis=-2)
+    pm = jnp.roll(mm[..., :p, :], -ncx, axis=-1)  # rows (0, kx), kx < p
+    pp = jnp.roll(mm[..., :1, :], -(ncx + 1), axis=-1)
+    return jnp.concatenate([mm, mp_, pm, pp], axis=-2)
+
+
+def _reduce_mm(v: jax.Array, p: int, ncx: int) -> jax.Array:
+    """Masked partial piece output (…, p1^2, B) -> consistent mm rows.
+
+    The adjoint gather of :func:`_expand_mm`: each mm row accumulates the
+    duplicate copies held by the neighboring cells' mp/pm/pp rows.
+    Wraparound contributions are zero because ``v`` is Dirichlet-masked.
+    """
+    p2 = p * p
+    mm = v[..., :p2, :]
+    rows = [mm[..., r:r + 1, :] for r in range(p2)]
+    for ky in range(p):  # mp copy of (cy, cx-1) -> node (ky, 0)
+        r = _idx_mm(ky, 0, p)
+        rows[r] = rows[r] + jnp.roll(v[..., p2 + ky:p2 + ky + 1, :],
+                                     1, axis=-1)
+    for kx in range(p):  # pm copy of (cy-1, cx) -> node (0, kx)
+        rows[kx] = rows[kx] + jnp.roll(
+            v[..., p2 + p + kx:p2 + p + kx + 1, :], ncx, axis=-1)
+    rows[0] = rows[0] + jnp.roll(v[..., p2 + 2 * p:, :], ncx + 1, axis=-1)
+    return jnp.concatenate(rows, axis=-2)
+
+
 def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
-                    mask):
+                    mask, compact=False):
     """The BP4 operator on one z-cell layer of piece-form values.
 
     ``m``: (3q^3, p1^3) stacked gradient matrices; ``g6``: (6q^3, Bc)
     metric entries of this layer; ``u4``: (C, p1, p1^2, B) input values;
     ``mask``: Dirichlet mask.  Returns the masked, y/x-consistent output
-    (C, p1, p1^2, B) — shared by the whole-iteration CG kernel and the
-    piece-resident matvec kernel.
+    — full piece rows, or only the owner mm rows when ``compact`` — shared
+    by the whole-iteration CG kernel and the piece-resident matvec kernel.
     """
     p1 = p + 1
     p13 = m.shape[1]
@@ -198,13 +243,15 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
                       precision, dims=dn_t))
     v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
     v = v * mask[None]
-    if "consistency" not in ablate:
-        v = _make_consistent(v, p, ncx)
-    return v
+    if "consistency" in ablate:
+        return v
+    if compact:
+        return _reduce_mm(v, p, ncx)  # (C, p1, p^2, B) consistent mm rows
+    return _make_consistent(v, p, ncx)
 
 
 def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
-                     ncz_g, recurrence,
+                     ncz_g, recurrence, compact,
                      mats_ref, g6_ref, scal_ref, zoff_ref,
                      pm_ref, pp_ref,
                      x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
@@ -320,8 +367,13 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         zd2_ref[:, j:j + 1] = d2s[:, :1].astype(zd2_ref.dtype)
 
         # -- operator apply on d' ------------------------------------------
+        # compact state stores only the owner mm rows; the duplicated
+        # mp/pm/pp rows of the operator input are reconstructed by
+        # lane-rolls (zero-cost correctness: see _expand_mm)
+        d2f = _expand_mm(d2s, p, ncx) if compact else d2s
         v = _operator_block(precision, n_comp, p, ncx, ablate,
-                            m, g6_all[:, j], rep, d2s, mask)
+                            m, g6_all[:, j], rep, d2f, mask,
+                            compact=compact)
         first = v[:, :1] + carry_in
         vmain = (first if p == 1
                  else jnp.concatenate([first, v[:, 1:p]], axis=1))
@@ -547,6 +599,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        want_carry: bool = False,
                        alias: bool = True,
                        layers_per_step: int = 1,
+                       compact: bool = False,
                        _ablate: tuple = ()):
     """Run one fused CG iteration;
     returns (x', g', d', h', zg', zd', zh', scal'[, carry]).
@@ -586,6 +639,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     B = ncy * ncx
     Bs = n_rep * B  # state lane width
     R = p1 * p1
+    Rs = p * p if compact else R  # stored rows per state plane
     q3 = op.w3.shape[0]
     p13 = op.mats.shape[1]
     n_comp = x.shape[0]
@@ -598,7 +652,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     nsteps = ncz // L
 
     def main_spec(c, lanes=Bs):
-        return pl.BlockSpec((c, L * p, R, lanes), lambda i: (0, i, 0, 0),
+        return pl.BlockSpec((c, L * p, Rs, lanes), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def plus_spec(c, lanes=Bs):
@@ -606,7 +660,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         # which is read-only — no aliasing conflict); clamped at the last
         # step (the kernel substitutes the halo plane there)
         return pl.BlockSpec(
-            (c, 1, R, lanes),
+            (c, 1, Rs, lanes),
             lambda i: (0, jnp.minimum(i * (L * p) + L * p, nzm - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
@@ -614,23 +668,23 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         # the last sublayer's +1 plane from the Z-plane array: Z[(i+1)*L]
         # (clamped; the last step substitutes the halo plane in-kernel)
         return pl.BlockSpec(
-            (c, 1, R, lanes),
+            (c, 1, Rs, lanes),
             lambda i: (0, jnp.minimum(i * L + L, ncz - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
     def zout_spec(c, lanes=Bs):
-        return pl.BlockSpec((c, L, R, lanes), lambda i: (0, i, 0, 0),
+        return pl.BlockSpec((c, L, Rs, lanes), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def halo_spec(c, lanes=Bs):
-        return pl.BlockSpec((c, 1, R, lanes), lambda i: (0, 0, 0, 0),
+        return pl.BlockSpec((c, 1, Rs, lanes), lambda i: (0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     if halo is None:
-        g_h = jnp.zeros((n_comp, 1, R, Bs), acc)
-        d_h = jnp.zeros((n_comp, 1, R, Bs), store)
-        h_h = jnp.zeros((n_comp, 1, R, Bs), store)
-        p_h = jnp.zeros((1, 1, R, B), prec_pieces.dtype)
+        g_h = jnp.zeros((n_comp, 1, Rs, Bs), acc)
+        d_h = jnp.zeros((n_comp, 1, Rs, Bs), store)
+        h_h = jnp.zeros((n_comp, 1, Rs, Bs), store)
+        p_h = jnp.zeros((1, 1, Rs, B), prec_pieces.dtype)
     else:
         g_h, d_h, h_h, p_h = halo
 
@@ -645,23 +699,23 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), acc),
-        jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), acc),
-        jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), store),
-        jax.ShapeDtypeStruct((n_comp, nzm, R, Bs), store),
-        jax.ShapeDtypeStruct((n_comp, ncz, R, Bs), acc),
-        jax.ShapeDtypeStruct((n_comp, ncz, R, Bs), store),
-        jax.ShapeDtypeStruct((n_comp, ncz, R, Bs), store),
+        jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), acc),
+        jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), acc),
+        jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), store),
+        jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), store),
+        jax.ShapeDtypeStruct((n_comp, ncz, Rs, Bs), acc),
+        jax.ShapeDtypeStruct((n_comp, ncz, Rs, Bs), store),
+        jax.ShapeDtypeStruct((n_comp, ncz, Rs, Bs), store),
         jax.ShapeDtypeStruct((8,), acc),
     ]
     if want_carry:
         out_specs.append(halo_spec(n_comp))
-        out_shape.append(jax.ShapeDtypeStruct((n_comp, 1, R, Bs), acc))
+        out_shape.append(jax.ShapeDtypeStruct((n_comp, 1, Rs, Bs), acc))
 
     base = functools.partial(
         _fused_cg_kernel, op.precision, n_comp, p,
         (ncz, ncy, ncx), acc, store, _ablate, n_rep,
-        ncz_global if ncz_global is not None else ncz, recurrence)
+        ncz_global if ncz_global is not None else ncz, recurrence, compact)
     if want_carry:
         kern = base
     else:
@@ -707,7 +761,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((n_comp, R, Bs), acc),
+            pltpu.VMEM((n_comp, Rs, Bs), acc),
             pltpu.VMEM((8, Bs), acc),
         ],
         compiler_params=pltpu.CompilerParams(

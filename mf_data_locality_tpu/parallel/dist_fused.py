@@ -54,6 +54,7 @@ def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
                 x0: jax.Array | None = None,
                 max_iter: int = 100, abs_tol: float = 1e-15,
                 rel_tol: float = 1e-8, fold: bool = False,
+                compact: bool = True,
                 interpret: bool | None = None) -> SolveResult:
     """Distributed fused-kernel merged-CG solve.
 
@@ -77,7 +78,8 @@ def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
             b_loc = b_loc - ax0
         out = _solve_local(op, inv_diag[0], b_loc, n_dev, ncz_g,
                            max_iter=max_iter, abs_tol=abs_tol,
-                           rel_tol=rel_tol, fold=fold, interpret=interpret)
+                           rel_tol=rel_tol, fold=fold, compact=compact,
+                           interpret=interpret)
         if x0_ is not None:
             out = (out[0] + x0_,) + out[1:]
         return out
@@ -98,7 +100,7 @@ def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
 
 
 def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
-                 fold, interpret):
+                 fold, compact, interpret):
     """Per-device solve body (inside shard_map).
 
     ``inv_diag``: (1, Pp+1, Ny, Nx); ``b``: (C, Pp+1, Ny, Nx) lattice slabs
@@ -129,9 +131,11 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
         return jax.lax.ppermute(a[:, :1], AXIS, down)
 
     prec_pieces = fk.to_piece_state(inv_diag[:1].astype(acc), p)
-    p_h = recv_next(prec_pieces)
-
     g0 = fk.to_piece_state(-b.astype(acc), p)
+    if compact:
+        prec_pieces = prec_pieces[:, :, :p2]
+        g0 = g0[:, :, :p2]
+    p_h = recv_next(prec_pieces)
     if fold:
         g0 = fk.fold_state(g0)
     res0 = jnp.sqrt(jax.lax.psum(
@@ -161,7 +165,8 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
         x, g, d, h, zg, zd, zh, s, carry = fk.fused_cg_iteration(
             op, slab_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
             interpret=interpret, n_rep=n_rep, halo=halo,
-            z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True)
+            z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True,
+            compact=compact)
         # z-carry add-back (the compress ppermute) + exact dot corrections:
         # only the five h-dependent sums change, by single-plane deltas
         carry_in = (jnp.zeros_like(carry) if n_dev == 1
@@ -203,6 +208,9 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
               + (alpha_old / safe_beta_old) * (prec_pieces * g))
     x = jnp.where(it == 0, x, jnp.where(it % 2 == 1, x_odd, x_even))
 
+    if compact:
+        ncx = (slab_axis[2] - 1) // p
+        x = fk._expand_mm(x, p, ncx)
     x_lat = fk.from_piece_state(x, p, slab_axis)
     # restore the replicated-shared-plane slab convention (top plane =
     # neighbor-above's plane 0; zero on the last device = global top) so

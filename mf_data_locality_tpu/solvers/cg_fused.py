@@ -34,6 +34,7 @@ def fused_merged_cg_solve(
     fold: bool = False,
     alias: bool = True,
     layers_per_step: int = 1,
+    compact: bool = True,
 ) -> SolveResult:
     """Solve A x = b (lattice vectors (C, Nz, Ny, Nx)) with the fused kernel.
 
@@ -42,6 +43,9 @@ def fused_merged_cg_solve(
     (identical residual history; one extra operator apply at entry).
     ``fold``: lane-fold the component axis so the kernel's MXU contractions
     run at 3x width (:func:`ops.cg_fused_kernel.fold_state`).
+    ``compact``: store only the owner mm rows of the piece state (36% less
+    state traffic at p=4); duplicated rows are reconstructed in VMEM by
+    lane-rolls (:func:`ops.cg_fused_kernel._expand_mm`).
     """
     p1 = round(op.mats.shape[1] ** (1 / 3))
     p = p1 - 1
@@ -62,12 +66,15 @@ def fused_merged_cg_solve(
 
     n_comp = b.shape[0]
     n_rep = n_comp if fold else 1
+    p2 = p * p
     g0 = fk.to_piece_state(-b_eff.astype(acc), p)
+    if compact:
+        prec_pieces = prec_pieces[:, :, :p2]
+        g0 = g0[:, :, :p2]
     if fold:
         g0 = fk.fold_state(g0)
     # ||g0||^2 over owner rows (each global DoF exactly once; boundary rows
     # are zero by construction)
-    p2 = p * p
     res0 = jnp.sqrt(jnp.sum(g0[:, :, :p2].astype(acc) ** 2))
     tol = jnp.maximum(jnp.asarray(abs_tol, acc), rel_tol * res0)
     history = jnp.full((max_iter + 1,), jnp.nan, dtype=acc).at[0].set(res0)
@@ -91,7 +98,7 @@ def fused_merged_cg_solve(
         x, g, d, h, zg, zd, zh, scal = fk.fused_cg_iteration(
             op, n_nodes_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
             interpret=interpret, n_rep=n_rep, alias=alias,
-            layers_per_step=layers_per_step)
+            layers_per_step=layers_per_step, compact=compact)
         res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
         return (x, g, d, h, zg, zd, zh, scal, it, res, hist.at[it].set(res))
 
@@ -115,6 +122,10 @@ def fused_merged_cg_solve(
               + (alpha_old / safe_beta_old) * (prec_pieces * g))
     x = jnp.where(it == 0, x, jnp.where(it % 2 == 1, x_odd, x_even))
 
+    if compact:
+        # reconstruct the duplicated rows (consistent, boundary-zero state)
+        ncx = (n_nodes_axis[2] - 1) // p
+        x = fk._expand_mm(x, p, ncx)
     x_lat = fk.from_piece_state(x, p, n_nodes_axis)
     if x0 is not None:
         x_lat = x_lat + x0.astype(acc)

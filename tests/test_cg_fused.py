@@ -57,6 +57,41 @@ def test_fused_matches_merged_f64(s, p):
 
 
 @pytest.mark.parametrize("s,p", [(5, 1), (6, 2), (6, 3)])
+def test_compact_matches_full(s, p):
+    """mm-only compact state == full piece-row state (f64)."""
+    problem, lataxis, b_lat, prec_lat = _setup(s, p)
+    r0 = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat, prec_lat,
+                                        compact=False)
+    r1 = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat, prec_lat,
+                                        compact=True)
+    assert int(r0.n_iterations) == int(r1.n_iterations)
+    x0 = np.asarray(r0.x)
+    x1 = np.asarray(r1.x)
+    np.testing.assert_allclose(x1, x0, atol=1e-11 * max(1.0, np.abs(x0).max()))
+
+
+def test_expand_reduce_mm_roundtrip():
+    """_reduce_mm == _make_consistent on mm rows; _expand_mm inverts."""
+    from mf_data_locality_tpu.ops.laplace_pallas import _dirichlet_mask_pieces
+
+    p, ncy, ncx = 2, 4, 4
+    p1, p2, R, B = p + 1, p * p, (p + 1) ** 2, 16
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((3, p1, R, B))
+    mask = np.asarray(jax.jit(lambda: _dirichlet_mask_pieces(
+        p, (10 ** 9, ncy, ncx), B, jnp.asarray(5)))())
+    v = v * mask[None]
+    cons = np.asarray(jax.jit(
+        lambda a: fk._make_consistent(a, p, ncx))(jnp.asarray(v)))
+    red = np.asarray(jax.jit(
+        lambda a: fk._reduce_mm(a, p, ncx))(jnp.asarray(v)))
+    np.testing.assert_allclose(red, cons[:, :, :p2], atol=1e-13)
+    exp = np.asarray(jax.jit(
+        lambda a: fk._expand_mm(a, p, ncx))(jnp.asarray(cons[:, :, :p2])))
+    np.testing.assert_allclose(exp, cons, atol=0)
+
+
+@pytest.mark.parametrize("s,p", [(5, 1), (6, 2), (6, 3)])
 def test_fold_matches_unfolded(s, p):
     """Lane-folded state (one 3x-wide MXU call) == per-component form."""
     problem, lataxis, b_lat, prec_lat = _setup(s, p)
