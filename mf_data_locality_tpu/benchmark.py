@@ -92,22 +92,30 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         raise ValueError("--solver fused requires --backend pallas "
                          "--windowing pieces")
 
-    # operator data passed as jit arguments, not baked-in constants
+    # operator data captured as jit CONSTANTS: XLA then pre-tiles the
+    # operand layouts (the bf16 metric stream as a runtime argument keeps
+    # its default layout and costs ~130 us/it of strided per-step DMA —
+    # measured 2.4x on the bf16 config, tools/PROBE_FUSED.txt
+    # probe_compact).  The reference's operator tables are equally
+    # resident/pre-laid-out across its whole run.
+    op_c = problem.op
+
     @jax.jit
-    def solve_jit(op, inv_diag, b):
+    def solve_jit(inv_diag, b):
         if solver == "fused":
             lataxis = problem.layout.n_nodes_axis
             return cg_fused.fused_merged_cg_solve(
-                op, lataxis, b.reshape((problem.n_components,) + lataxis),
+                op_c, lataxis, b.reshape((problem.n_components,) + lataxis),
                 inv_diag.reshape((1,) + lataxis),
                 layers_per_step=layers_per_step)
-        raw = partial(vmult_fn, op, constrained_identity=(solver == "baseline"))
+        raw = partial(vmult_fn, op_c,
+                      constrained_identity=(solver == "baseline"))
         a = raw if lat is None else (lambda u: raw(u.reshape(lat)).reshape(u.shape))
         if solver == "merged":
             return cg_merged.merged_cg_solve(a, b, inv_diag)
         return cg.cg_solve(a, b, inv_diag)
 
-    args = (problem.op, problem.inv_diag, problem.b)
+    args = (problem.inv_diag, problem.b)
     result = solve_jit(*args)  # warmup & compile
     n_it = int(result.n_iterations)
     # timing by scalar fetch (block_until_ready does not block on tunneled TPUs)
