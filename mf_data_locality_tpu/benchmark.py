@@ -133,10 +133,12 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         degree_p = degree
         d0 = _fk.to_piece_state(
             problem.b.reshape((problem.n_components,) + lataxis), degree_p)
+        d0 = d0[:, :, :degree_p * degree_p]  # compact mm-only state
         zd0 = _fk.zplanes_init(d0, degree_p)
         matvec_time = timing.time_scan_fetch(
-            lambda c: _fk.piece_vmult(problem.op, lataxis, c[0], c[1],
-                                      layers_per_step=layers_per_step),
+            lambda c: _fk.piece_vmult(op_c, lataxis, c[0], c[1],
+                                      layers_per_step=layers_per_step,
+                                      compact=True),
             (d0, zd0), inner=matvec_inner, repeats=matvec_repeats)
     else:
         matvec_time = timing.time_scan_fetch(

@@ -455,6 +455,7 @@ def scalar_recurrence(s, alpha, beta, parity):
 
 
 def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
+                   compact,
                    mats_ref, g6_ref, zoff_ref,
                    d_ref, zd_ref, dh_ref,
                    h2_ref, zh2_ref,
@@ -496,8 +497,11 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
             plus = jnp.where(last, dh_ref[:].astype(acc),
                              zd_ref[:].astype(acc))
         d_f = jnp.concatenate([d_ref[:, sl].astype(acc), plus], axis=1)
+        if compact:
+            d_f = _expand_mm(d_f, p, ncx)
         v = _operator_block(precision, n_comp, p, ncx, ablate,
-                            m, g6_all[:, j], rep, d_f, mask)
+                            m, g6_all[:, j], rep, d_f, mask,
+                            compact=compact)
         first = v[:, :1] + carry_in
         vmain = (first if p == 1
                  else jnp.concatenate([first, v[:, 1:p]], axis=1))
@@ -511,7 +515,8 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
                 halo: jax.Array | None = None,
                 z0: int = 0, ncz_global: int | None = None,
                 interpret: bool | None = None,
-                layers_per_step: int = 1):
+                layers_per_step: int = 1,
+                compact: bool = False):
     """Operator apply on piece-state vectors: (d, zd) -> (h, zh).
 
     ``d``: (C, ncz*p, p1^2, B) piece-state input (boundary-zero invariant
@@ -528,6 +533,7 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
     ncz, ncy, ncx = (nz - 1) // p, (ny - 1) // p, (nx - 1) // p
     B = ncy * ncx
     R = p1 * p1
+    Rs = p * p if compact else R
     q3 = op.w3.shape[0]
     p13 = op.mats.shape[1]
     n_comp = d.shape[0]
@@ -540,12 +546,13 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
     nsteps = ncz // L
 
     if halo is None:
-        halo = jnp.zeros((n_comp, 1, R, B), store)
+        halo = jnp.zeros((n_comp, 1, Rs, B), store)
 
     outs = pl.pallas_call(
         functools.partial(_matvec_kernel, op.precision, n_comp, p,
                           (ncz, ncy, ncx), acc, (), 1,
-                          ncz_global if ncz_global is not None else ncz),
+                          ncz_global if ncz_global is not None else ncz,
+                          compact),
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
@@ -553,26 +560,26 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
             pl.BlockSpec((6 * q3, L, 1, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_comp, L * p, R, B), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((n_comp, L * p, Rs, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_comp, 1, R, B),
+            pl.BlockSpec((n_comp, 1, Rs, B),
                          lambda i: (0, jnp.minimum(i * L + L, ncz - 1),
                                     0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_comp, 1, R, B), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((n_comp, 1, Rs, B), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n_comp, L * p, R, B), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((n_comp, L * p, Rs, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_comp, L, R, B), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((n_comp, L, Rs, B), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_comp, nzm, R, B), store),
-            jax.ShapeDtypeStruct((n_comp, ncz, R, B), store),
+            jax.ShapeDtypeStruct((n_comp, nzm, Rs, B), store),
+            jax.ShapeDtypeStruct((n_comp, ncz, Rs, B), store),
         ],
-        scratch_shapes=[pltpu.VMEM((n_comp, R, B), acc)],
+        scratch_shapes=[pltpu.VMEM((n_comp, Rs, B), acc)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
