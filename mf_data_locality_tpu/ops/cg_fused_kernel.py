@@ -466,6 +466,12 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
     Z-plane form, so 50 back-to-back applies (the reference's matvec
     timing protocol, ``benchmark.h:204-215``) run with zero windowing
     round trips — like the reference's vmult on its native vector layout.
+
+    NOTE: the per-sublayer scaffolding (mask build, +1-plane selection,
+    carry chain) intentionally mirrors ``_fused_cg_kernel.layer``; any
+    change to the halo/Z clamping or mask offsets there must be mirrored
+    here so the timed matvec stays the solver's exact operator (the
+    heavy shared math already lives in ``_operator_block``).
     """
     ncz, ncy, ncx = dims
     z0 = zoff_ref[0]
@@ -541,8 +547,10 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
     acc = jnp.float32 if store == jnp.bfloat16 else store
     nzm = ncz * p
     L = layers_per_step
-    if L < 1 or ncz % L:
-        L = 1
+    if L > 1 and ncz % L:
+        raise ValueError(
+            f"layers_per_step={L} does not divide the z-layer count {ncz}")
+    L = max(L, 1)
     nsteps = ncz // L
 
     if halo is None:
@@ -586,6 +594,24 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
     )(op.mats, op.gmetric.reshape(6 * q3, ncz, 1, B),
       jnp.asarray(z0, jnp.int32).reshape(1), d, zd, halo)
     return outs  # (h, zh)
+
+
+def delayed_x_fixup(x, g, d, prec_pieces, scal, it):
+    """Delayed-x exit fixup (``solver_cg_optimized.h:254-289``).
+
+    The merged recurrence defers the x update to every second iteration;
+    on exit the pending contribution is applied with the parity-dependent
+    combined coefficient.  Shared by the single-device and distributed
+    fused solvers so the two cannot drift.
+    """
+    acc = x.dtype
+    alpha, alpha_old, beta_old = scal[0], scal[6], scal[7]
+    safe_beta_old = jnp.where(beta_old == 0, 1.0, beta_old)
+    da = d.astype(acc)
+    x_odd = x + alpha * da
+    x_even = (x + (alpha + alpha_old / safe_beta_old) * da
+              + (alpha_old / safe_beta_old) * (prec_pieces * g))
+    return jnp.where(it == 0, x, jnp.where(it % 2 == 1, x_odd, x_even))
 
 
 def zplanes_init(v: jax.Array, p: int) -> jax.Array:
@@ -654,8 +680,10 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     store = d.dtype
     nzm = ncz * p
     L = layers_per_step
-    if L < 1 or ncz % L:
-        L = 1  # fall back: the grid must tile the layer count exactly
+    if L > 1 and ncz % L:
+        raise ValueError(
+            f"layers_per_step={L} does not divide the z-layer count {ncz}")
+    L = max(L, 1)
     nsteps = ncz // L
 
     def main_spec(c, lanes=Bs):

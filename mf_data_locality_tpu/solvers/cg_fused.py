@@ -108,19 +108,12 @@ def fused_merged_cg_solve(
              jnp.asarray(0, jnp.int32), res0, history)
     x, g, d, h, zg, zd, zh, scal, it, res, history = (
         jax.lax.while_loop(cond, body, state))
-    alpha, alpha_old, beta_old = scal[0], scal[6], scal[7]
     if fold:
         x = fk.unfold_state(x, n_comp)
         g = fk.unfold_state(g, n_comp)
         d = fk.unfold_state(d, n_comp)
 
-    # delayed-x exit fixup (solver_cg_optimized.h:254-289)
-    safe_beta_old = jnp.where(beta_old == 0, 1.0, beta_old)
-    da = d.astype(acc)
-    x_odd = x + alpha * da
-    x_even = (x + (alpha + alpha_old / safe_beta_old) * da
-              + (alpha_old / safe_beta_old) * (prec_pieces * g))
-    x = jnp.where(it == 0, x, jnp.where(it % 2 == 1, x_odd, x_even))
+    x = fk.delayed_x_fixup(x, g, d, prec_pieces, scal, it)
 
     if compact:
         # reconstruct the duplicated rows (consistent, boundary-zero state)

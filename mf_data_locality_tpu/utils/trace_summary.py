@@ -24,7 +24,7 @@ def _device_events(log_dir: str):
                       recursive=True)
     if not paths:
         return
-    with gzip.open(sorted(paths)[-1], "rt") as f:
+    with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
     pid_names = {}
@@ -43,7 +43,7 @@ def _device_events(log_dir: str):
 def op_durations(log_dir: str) -> dict[str, float]:
     """Total device time (us) per op name over the captured window."""
     out: dict[str, float] = {}
-    for name, dur in _device_events(log_dir) or ():
+    for name, dur in _device_events(log_dir):
         out[name] = out.get(name, 0.0) + dur
     return out
 

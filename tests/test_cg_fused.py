@@ -114,10 +114,16 @@ def test_fold_state_roundtrip():
                                   np.asarray(v))
 
 
-@pytest.mark.parametrize("s,p,L", [(5, 1, 1), (6, 2, 1), (6, 2, 2),
-                                   (6, 3, 2)])
-def test_piece_vmult_matches_lattice(s, p, L):
-    """Piece-resident matvec == lattice vmult (boundary-zero input)."""
+@pytest.mark.parametrize("s,p,L,compact", [
+    (5, 1, 1, False), (6, 2, 1, False), (6, 2, 2, False), (6, 3, 2, False),
+    (5, 1, 1, True), (6, 2, 1, True), (6, 3, 1, True)])
+def test_piece_vmult_matches_lattice(s, p, L, compact):
+    """Piece-resident matvec == lattice vmult (boundary-zero input).
+
+    ``compact=True`` is the benchmark's fused-matvec timing path
+    (mm-only state, benchmark.py) — pinned here so a regression in the
+    compact branch cannot ship as a wrong timed operator.
+    """
     import mf_data_locality_tpu.ops.laplace_pallas as lp
 
     problem, lataxis, _, _ = _setup(s, p)
@@ -125,13 +131,18 @@ def test_piece_vmult_matches_lattice(s, p, L):
     u = jnp.asarray(rng.standard_normal((3,) + lataxis)) * problem.op.mask
     ref = lp.vmult(problem.op, u, constrained_identity=False)
     dpc = fk.to_piece_state(u, p)
+    if compact:
+        dpc = dpc[:, :, :p * p]
     zd = fk.zplanes_init(dpc, p)
-    h, zh = fk.piece_vmult(problem.op, lataxis, dpc, zd, layers_per_step=L)
+    h, zh = fk.piece_vmult(problem.op, lataxis, dpc, zd, layers_per_step=L,
+                           compact=compact)
+    np.testing.assert_allclose(np.asarray(zh), np.asarray(h)[:, ::p],
+                               atol=0)
+    if compact:
+        h = fk._expand_mm(h, p, (lataxis[2] - 1) // p)
     h_lat = fk.from_piece_state(h, p, lataxis)
     np.testing.assert_allclose(np.asarray(h_lat), np.asarray(ref),
                                atol=1e-12)
-    np.testing.assert_allclose(np.asarray(zh), np.asarray(h)[:, ::p],
-                               atol=0)
 
 
 def test_zplanes_init_selects_boundary_planes():
