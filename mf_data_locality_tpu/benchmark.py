@@ -97,8 +97,14 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     # its default layout and costs ~130 us/it of strided per-step DMA —
     # measured 2.4x on the bf16 config, tools/PROBE_FUSED.txt
     # probe_compact).  The reference's operator tables are equally
-    # resident/pre-laid-out across its whole run.
-    op_c = problem.op
+    # resident/pre-laid-out across its whole run.  Host copies are taken
+    # first so constant embedding at trace time needs no device->host
+    # fetch (the tunneled backend intermittently errors there).
+    import numpy as _np
+
+    op_c = jax.tree.map(
+        lambda a: _np.asarray(a) if isinstance(a, jax.Array) else a,
+        problem.op)
 
     @jax.jit
     def solve_jit(inv_diag, b):
