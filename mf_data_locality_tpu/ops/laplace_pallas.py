@@ -293,6 +293,11 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
     )
 
 
+SPLIT3_FUSED_K = True
+"""split3 as one K-stacked matmul (identical arithmetic) instead of three
+passes; module-level so probes can A/B both lowerings."""
+
+
 def _mm(a, b, precision, dims=None):
     """Matmul with selectable precision strategy (MXU).
 
@@ -315,6 +320,14 @@ def _mm(a, b, precision, dims=None):
         d = lambda x, y: jax.lax.dot_general(  # noqa: E731
             x, y, dn, preferred_element_type=f32)
         # hi*hi + hi*lo + lo*hi (drop lo*lo: below f32 working precision)
+        if SPLIT3_FUSED_K and len(pa) > 1 and len(pb) > 1:
+            # fuse the three products into ONE matmul by stacking along
+            # the contraction axis — identical arithmetic (the MXU f32
+            # accumulator sums across K), one invocation instead of three
+            ka, kb = dn[0][0][0], dn[0][1][0]
+            a3 = jnp.concatenate([pa[0], pa[1], pa[0]], axis=ka)
+            b3 = jnp.concatenate([pb[0], pb[0], pb[1]], axis=kb)
+            return d(a3, b3)
         out = d(pa[0], pb[0])
         if len(pb) > 1:
             out = out + d(pa[0], pb[1])
