@@ -145,6 +145,20 @@ def test_piece_vmult_matches_lattice(s, p, L, compact):
                                atol=1e-12)
 
 
+def test_fused_high_degree_dispatch():
+    """The fused path covers the reference's full degree range: p=7 on a
+    tiny mesh (benchmark.h:290-313 dispatches p=1..11)."""
+    problem, lataxis, b_lat, prec_lat = _setup(3, 7)
+    ref = cg_merged.merged_cg_solve(problem.a_apply, problem.b,
+                                    problem.inv_diag)
+    r = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat, prec_lat)
+    assert int(r.n_iterations) == int(ref.n_iterations)
+    xr = np.asarray(ref.x).reshape(3, -1)
+    xf = np.asarray(r.x).reshape(3, -1)
+    np.testing.assert_allclose(xf, xr,
+                               atol=1e-6 * max(1.0, np.abs(xr).max()))
+
+
 def test_zplanes_init_selects_boundary_planes():
     rng = np.random.default_rng(11)
     p = 3
