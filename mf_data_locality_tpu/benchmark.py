@@ -255,7 +255,8 @@ def main(argv: list[str] | None = None) -> None:
                     default="pallas")
     ap.add_argument("--devices", type=int, default=0,
                     help="distribute over N devices (0 = single-device path)")
-    ap.add_argument("--precision", choices=["highest", "split3", "bf16"],
+    ap.add_argument("--precision",
+                    choices=["highest", "split3", "split2m", "bf16"],
                     default="highest",
                     help="pallas kernel matmul precision strategy")
     ap.add_argument("--windowing",

@@ -305,7 +305,9 @@ def _mm(a, b, precision, dims=None):
     multi-pass for f32).  "split3": manual bf16 hi/lo decomposition, 3
     single-pass products hh + hl + lh accumulated in f32 — the HIGH-class
     algorithm expressed explicitly so Mosaic cannot silently upgrade it.
-    "bf16": one pass on rounded operands.
+    "split2m": matrices rounded to bf16 (fixed ~2e-3 operator
+    perturbation, ~+2 CG iterations) with hi/lo-split stream — 2/3 the
+    MXU passes of split3.  "bf16": one pass on rounded operands.
     """
     dn = dims if dims is not None else (((1,), (0,)), ((), ()))
     f32 = jnp.float32 if a.dtype in (jnp.float32, jnp.bfloat16) else a.dtype
@@ -334,6 +336,23 @@ def _mm(a, b, precision, dims=None):
         if len(pa) > 1:
             out = out + d(pa[1], pb[0])
         return out
+    if precision == "split2m":
+        # matrices rounded to ONE bf16 copy, the streamed operand split
+        # hi/lo: two products (mh*bh + mh*bl), K-stacked into one matmul.
+        # A fixed ~2e-3 perturbation of the OPERATOR (consistent across
+        # iterations — CG solves the perturbed SPD system, costing ~2
+        # extra iterations), with per-apply stream noise at f32 class —
+        # the intermediate rung between split3 and bf16.
+        ah = a.astype(jnp.bfloat16)
+        if b.dtype == jnp.bfloat16:
+            return jax.lax.dot_general(ah, b, dn,
+                                       preferred_element_type=f32)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(b.dtype)).astype(jnp.bfloat16)
+        ka, kb = dn[0][0][0], dn[0][1][0]
+        a2 = jnp.concatenate([ah, ah], axis=ka)
+        b2 = jnp.concatenate([bh, bl], axis=kb)
+        return jax.lax.dot_general(a2, b2, dn, preferred_element_type=f32)
     if precision == "bf16":
         return jax.lax.dot_general(
             a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dn,
