@@ -53,6 +53,16 @@ def main() -> None:
           f"measured_bw={bw/1e9:.0f}GB/s roofline={roofline/1e9:.2f}GDoF/s/it "
           f"converged={r.converged}", file=sys.stderr)
 
+    # split2m variant: bf16-rounded matrices (fixed ~2e-3 SPD operator
+    # perturbation, iteration-exact at the parity point), 2 MXU passes
+    r2 = run_one(degree, s, solver="fused", dtype=jnp.float32,
+                 backend="pallas", precision="split2m", windowing="pieces",
+                 solve_repeats=2, matvec_repeats=2, matvec_inner=20)
+    print(f"# split2m variant: dofs/s/it={r2.dofs_per_s_per_it:.3e} "
+          f"({r2.dofs_per_s_per_it / roofline:.3f} of roofline) "
+          f"time/it={r2.time_per_it:.3e}s itCG={r2.n_iterations}",
+          file=sys.stderr)
+
     # reduced-precision variant (vector_access_reduced capability slot:
     # bf16 operator-stream storage + single-pass bf16 matmuls + bf16 metric)
     rb = run_one(degree, s, solver="fused", dtype=jnp.bfloat16,
