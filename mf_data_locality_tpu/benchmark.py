@@ -10,7 +10,14 @@ row::
 Usage (mirrors the reference positional CLI, ``benchmark.h:280-288``)::
 
    python -m mf_data_locality_tpu.benchmark <degree> [s] [compact] \
-       [--solver merged|baseline] [--dtype f32|f64|bf16] [--backend ...]
+       [--solver fused|merged|baseline] [--dtype f32|f64|bf16] \
+       [--precision highest|split3|split2m|bf16] \
+       [--windowing pieces|zslab|reshape|matmul|conv] \
+       [--metric-dtype f32|bf16] [--devices N] [--backend ...]
+
+Production configuration: ``--solver fused --precision split3
+--windowing pieces`` (f32-class) — see README "Performance notes" for
+the split2m / bf16 variants.
 
 ``s < 1`` runs the auto ladder: s starts at 1 + log2(n_devices) and grows
 while (p+1)^3 * 2^s * n_components < 6e6 * n_devices (``benchmark.h:243-257``).
