@@ -29,15 +29,19 @@ node is stored — the capability of ``DiagonalMatrixBlocked``
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from mf_data_locality_tpu.mesh.dofs import DofLayout
 from mf_data_locality_tpu.ops import geometry, lagrange
 
 
-def gll_metric(layout: DofLayout, dtype=jnp.float64) -> jnp.ndarray:
-    """G = det(J) w J^{-1} J^{-T} at the GLL(p+1) tensor points: (nc, q3, 3, 3)."""
+def gll_metric(layout: DofLayout, dtype=np.float64) -> np.ndarray:
+    """G = det(J) w J^{-1} J^{-T} at the GLL(p+1) tensor points: (nc, q3, 3, 3).
+
+    Pure host-side NumPy f64 (setup-time precompute, like the operator
+    metric): no device work, no dependence on the jax x64 config.  ``dtype``
+    selects only the dtype of the returned array.
+    """
     shape = lagrange.make_shape_gll(layout.degree)
     qz, qy, qx = np.meshgrid(shape.q_points, shape.q_points, shape.q_points,
                              indexing="ij")
@@ -46,31 +50,32 @@ def gll_metric(layout: DofLayout, dtype=jnp.float64) -> jnp.ndarray:
     w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(-1)
     coeffs = geometry.trilinear_coefficients(layout.mesh.cell_vertices)
     jac = geometry.jacobian(
-        jnp.asarray(coeffs, dtype=dtype)[:, None],
-        jnp.asarray(uvw, dtype=dtype)[None],
-    )
+        np.asarray(coeffs, np.float64)[:, None], uvw[None])
     jinv, det = geometry.invert_3x3(jac)
-    scale = (det * jnp.asarray(w3, dtype=dtype)[None])[..., None, None]
-    return scale * jnp.einsum("...ab,...cb->...ac", jinv, jinv)
+    scale = (det * w3[None])[..., None, None]
+    g = scale * np.einsum("...ab,...cb->...ac", jinv, jinv)
+    return np.asarray(g, dtype=dtype)
 
 
-def compute_inverse_diagonal(layout: DofLayout, dtype=jnp.float64) -> jnp.ndarray:
+def compute_inverse_diagonal(layout: DofLayout, dtype=np.float64) -> np.ndarray:
     """Inverse scalar diagonal, one entry per node: (n_nodes,).
 
     Constrained (boundary) nodes get 1.0, matching the reference's zero->1
-    fixup (``poisson_operator.h:420-424``).
+    fixup (``poisson_operator.h:420-424``).  Computed host-side in f64
+    regardless of ``dtype`` (which only casts the result) — the diagonal is
+    setup data, so full precision is free and the jax x64 flag is irrelevant.
     """
     p = layout.degree
     q = p + 1
     shape = lagrange.make_shape_gll(p)
-    D = jnp.asarray(shape.d_nod, dtype=dtype)  # (q, q) collocation derivative
-    G = gll_metric(layout, dtype=dtype).reshape(-1, q, q, q, 3, 3)
+    D = np.asarray(shape.d_nod, np.float64)  # (q, q) collocation derivative
+    G = gll_metric(layout).reshape(-1, q, q, q, 3, 3)
 
     D2 = D * D
-    dd = jnp.diagonal(D)  # D[i, i]
-    term_x = jnp.einsum("qi,nkjq->nkji", D2, G[..., 0, 0])
-    term_y = jnp.einsum("qj,nkqi->nkji", D2, G[..., 1, 1])
-    term_z = jnp.einsum("qk,nqji->nkji", D2, G[..., 2, 2])
+    dd = np.diagonal(D)  # D[i, i]
+    term_x = np.einsum("qi,nkjq->nkji", D2, G[..., 0, 0])
+    term_y = np.einsum("qj,nkqi->nkji", D2, G[..., 1, 1])
+    term_z = np.einsum("qk,nqji->nkji", D2, G[..., 2, 2])
     cross = 2.0 * (
         dd[None, None, None, :] * dd[None, None, :, None] * G[..., 0, 1]
         + dd[None, None, None, :] * dd[None, :, None, None] * G[..., 0, 2]
@@ -78,8 +83,8 @@ def compute_inverse_diagonal(layout: DofLayout, dtype=jnp.float64) -> jnp.ndarra
     )
     local = (term_x + term_y + term_z + cross).reshape(layout.mesh.n_cells, -1)
 
-    diag = jnp.zeros((layout.n_nodes,), dtype=dtype)
-    diag = diag.at[layout.gather_map.reshape(-1)].add(local.reshape(-1))
-    free = jnp.asarray(~layout.boundary_node_mask)
-    diag = jnp.where(free, diag, 1.0)
-    return 1.0 / diag
+    diag = np.zeros((layout.n_nodes,), np.float64)
+    np.add.at(diag, np.asarray(layout.gather_map).reshape(-1),
+              local.reshape(-1))
+    diag = np.where(~layout.boundary_node_mask, diag, 1.0)
+    return np.asarray(1.0 / diag, dtype=dtype)

@@ -46,7 +46,25 @@ def fused_merged_cg_solve(
     ``compact``: store only the owner mm rows of the piece state (36% less
     state traffic at p=4); duplicated rows are reconstructed in VMEM by
     lane-rolls (:func:`ops.cg_fused_kernel._expand_mm`).
+
+    On CG breakdown (d.h = 0 in the scalar recurrence) the residual becomes
+    NaN, the while-loop condition ``res > tol`` turns False, and the solve
+    exits with ``res = NaN`` and ``converged = False`` — distinguishable
+    from plain non-convergence (finite ``res``) by ``isnan`` (the
+    reference throws ``ExcDivideByZero`` here,
+    ``solver_cg_optimized.h:249``).
     """
+    if op.windowing != "pieces":
+        raise ValueError(
+            "fused_merged_cg_solve requires an operator built with "
+            f"windowing='pieces' (got {op.windowing!r}); other windowing "
+            "modes store the gradient matrices un-permuted and would "
+            "silently produce wrong results")
+    if op.mask_mode != "iota":
+        raise ValueError(
+            "fused_merged_cg_solve is the single-device entry and requires "
+            f"mask_mode='iota' (got {op.mask_mode!r}); slab-surgered "
+            "operators must go through parallel.dist_fused")
     p1 = round(op.mats.shape[1] ** (1 / 3))
     p = p1 - 1
     dtype = b.dtype
@@ -59,6 +77,9 @@ def fused_merged_cg_solve(
         b_eff = b - lp.vmult(op, x0.astype(dtype),
                              constrained_identity=False,
                              interpret=interpret).astype(dtype)
+    # enforce the boundary-zero RHS invariant the piece-state kernel relies
+    # on (Dirichlet rows never re-masked in-loop); one setup-time pass
+    b_eff = b_eff * op.mask.astype(b_eff.dtype)
 
     # blocked-diagonal preconditioner: one scalar per node shared across
     # components (diagonal_matrix_blocked.h:8-36) -> (1, Nz, Ny, Nx)
