@@ -67,6 +67,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             backend: str = "structured", verbose: bool = False,
             precision: str = "highest", windowing: str = "reshape",
             metric_dtype=None, layers_per_step: int = 1,
+            factor: str = "dense",
             solve_repeats: int = 4, matvec_repeats: int = 2,
             matvec_inner: int = 50) -> RunResult:
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``)."""
@@ -80,7 +81,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     setup_t0 = _time.perf_counter()
     problem = bp4.build(s, degree, dtype=dtype, backend=backend,
                         precision=precision, windowing=windowing,
-                        metric_dtype=metric_dtype)
+                        metric_dtype=metric_dtype, factor=factor)
     vmult_fn = _VMULT[backend]
     if verbose:
         # reference verbose mode: diagonal norm + setup time
@@ -265,7 +266,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--precision",
                     choices=["highest", "split3", "split2m", "bf16"],
                     default="highest",
-                    help="pallas kernel matmul precision strategy")
+                    help="pallas kernel matmul precision strategy "
+                         "(with --dtype bf16 the streamed operand is "
+                         "already bf16, so split3/split2m degrade to a "
+                         "single bf16 pass — same class as bf16)")
     ap.add_argument("--windowing",
                     choices=["reshape", "matmul", "conv", "zslab", "pieces"],
                     default="reshape",
@@ -274,6 +278,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="storage dtype of the precomputed metric stream")
     ap.add_argument("--layers-per-step", type=int, default=1,
                     help="z-cell layers per fused-kernel grid step")
+    ap.add_argument("--factor", choices=["dense", "twostage"],
+                    default="dense",
+                    help="fused-kernel contraction factorization: dense "
+                         "(3q^3, p1^3) MXU matmuls vs twostage (z on the "
+                         "VPU + 2D MXU stage, (p+1)x fewer FLOPs)")
     ap.add_argument("--overlap", action="store_true",
                     help="overlap halo exchange with interior compute "
                          "(distributed path)")
@@ -300,7 +309,8 @@ def main(argv: list[str] | None = None) -> None:
                         backend=args.backend, verbose=not args.compact,
                         precision=args.precision, windowing=args.windowing,
                         metric_dtype=md,
-                        layers_per_step=args.layers_per_step)
+                        layers_per_step=args.layers_per_step,
+                        factor=args.factor)
         print(r.row() + ("" if r.converged else "   [not converged]"))
 
 

@@ -89,7 +89,8 @@ _VMULT = {
 def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
           n_q: int | None = None, backend: str = "pallas",
           precision: str = "highest",
-          windowing: str = "reshape", metric_dtype=None) -> BP4Problem:
+          windowing: str = "reshape", metric_dtype=None,
+          factor: str = "dense") -> BP4Problem:
     layout = DofLayout(BoxMesh.from_s(s), degree)
 
     # RHS: dof % 8 on unconstrained DoFs, components interleaved per node.
@@ -110,7 +111,8 @@ def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
                          "backend (f32 in-kernel compute); use dtype=float32 "
                          f"with backend={backend!r}")
     comp_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
-    inv_diag = diagonal.compute_inverse_diagonal(layout, dtype=comp_dtype)
+    inv_diag = jnp.asarray(
+        diagonal.compute_inverse_diagonal(layout, dtype=comp_dtype))
     inv_diag = inv_diag.astype(dtype)
 
     if backend in ("structured", "pallas"):
@@ -120,7 +122,8 @@ def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
         else:
             op = laplace_pallas.make_pallas_operator(
                 layout, n_q=n_q, dtype=dtype, precision=precision,
-                windowing=windowing, metric_dtype=metric_dtype)
+                windowing=windowing, metric_dtype=metric_dtype,
+                factor=factor)
         return BP4Problem(layout, op, inv_diag[None, :],
                           jnp.asarray(b, dtype=dtype), n_components, backend)
     if backend == "general":

@@ -53,7 +53,29 @@ from mf_data_locality_tpu.ops.laplace_pallas import (
     _mm,
     _to_piece_forms,
     _from_piece_forms,
+    _z_matrices,
+    gmetric_twostage,
 )
+
+
+def _factor_setup(op: PallasOperatorData, p: int, q: int, ncz: int, B: int):
+    """Per-factorization kernel operands: (mats, gmetric4d, zmats).
+
+    dense: the (3q^3, p1^3) matrices + (6q^3, ncz, 1, B) metric.
+    twostage: the (3q^2, p1^2) 2D matrices + (6q^2, ncz, 1, q*B) metric
+    (qz in lanes) + the z factors as nested float lists (compile-time
+    scalars for the VPU plane recurrences).
+    """
+    if op.factor == "twostage":
+        if op.mats2d is None:
+            raise ValueError(
+                "factor='twostage' requires an operator built with "
+                "windowing='pieces' (mats2d missing)")
+        Sz, Dz = _z_matrices(p, q)
+        zmats = ([[float(x) for x in row] for row in Sz],
+                 [[float(x) for x in row] for row in Dz])
+        return op.mats2d, gmetric_twostage(op.gmetric, q, ncz, B), zmats
+    return op.mats, op.gmetric.reshape(6 * q ** 3, ncz, 1, B), None
 
 
 def to_piece_state(u: jax.Array, p: int) -> jax.Array:
@@ -213,35 +235,83 @@ def _reduce_mm(v: jax.Array, p: int, ncx: int) -> jax.Array:
 
 
 def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
-                    mask, compact=False):
+                    mask, compact=False, factor="dense", zmats=None):
     """The BP4 operator on one z-cell layer of piece-form values.
 
-    ``m``: (3q^3, p1^3) stacked gradient matrices; ``g6``: (6q^3, Bc)
-    metric entries of this layer; ``u4``: (C, p1, p1^2, B) input values;
-    ``mask``: Dirichlet mask.  Returns the masked, y/x-consistent output
-    — full piece rows, or only the owner mm rows when ``compact`` — shared
-    by the whole-iteration CG kernel and the piece-resident matvec kernel.
+    ``factor="dense"``: ``m`` is the (3q^3, p1^3) stacked gradient matrices
+    and ``g6`` the (6q^3, Bc) metric entries of this layer — one MXU
+    contraction pair with K = p1^3.
+
+    ``factor="twostage"``: ``m`` is the stacked 2D matrices
+    [Dx2d; Dy2d; S2d] (3q^2, p1^2) and ``g6`` the (6q^2, q*B) two-stage
+    metric layout (qz in lanes); ``zmats = (Sz, Dz)`` nested float lists
+    (q x p1).  The z direction is contracted on the VPU (unrolled plane
+    recurrences with compile-time scalar coefficients), the 2D stage runs
+    on the MXU with K = p1^2 — (p+1)x fewer contraction FLOPs than dense.
+
+    ``u4``: (C, p1, p1^2, B) input values; ``mask``: Dirichlet mask.
+    Returns the masked, y/x-consistent output — full piece rows, or only
+    the owner mm rows when ``compact`` — shared by the whole-iteration CG
+    kernel and the piece-resident matvec kernel.
     """
     p1 = p + 1
-    p13 = m.shape[1]
-    q3 = m.shape[0] // 3
     B = u4.shape[3]
-    u = u4.reshape(n_comp * p13, B)
-    g00, g01, g02 = (rep(g6[:q3]), rep(g6[q3:2 * q3]),
-                     rep(g6[2 * q3:3 * q3]))
-    g11, g12, g22 = (rep(g6[3 * q3:4 * q3]), rep(g6[4 * q3:5 * q3]),
-                     rep(g6[5 * q3:]))
     dn_t = (((0,), (0,)), ((), ()))
-    vs = []
-    for c in range(n_comp):
-        u_c = u[c * p13:(c + 1) * p13, :]
-        gr = _mm(m, u_c, precision).reshape(3, q3, B)
-        t0 = g00 * gr[0] + g01 * gr[1] + g02 * gr[2]
-        t1 = g01 * gr[0] + g11 * gr[1] + g12 * gr[2]
-        t2 = g02 * gr[0] + g12 * gr[1] + g22 * gr[2]
-        vs.append(_mm(m, jnp.concatenate([t0, t1, t2], axis=0),
-                      precision, dims=dn_t))
-    v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
+    if factor == "twostage":
+        q2 = m.shape[0] // 3
+        q = round(q2 ** 0.5)
+        Sz, Dz = zmats
+        ge = [g6[e * q2:(e + 1) * q2] for e in range(6)]  # (q^2, qB) each
+        vs = []
+        for c in range(n_comp):
+            uc = u4[c]  # (p1, p1^2, B)
+            uS_blocks, uD_blocks = [], []
+            for qz in range(q):
+                s = uc[0] * Sz[qz][0]
+                d = uc[0] * Dz[qz][0]
+                for kz in range(1, p1):
+                    s = s + uc[kz] * Sz[qz][kz]
+                    d = d + uc[kz] * Dz[qz][kz]
+                uS_blocks.append(s)
+                uD_blocks.append(d)
+            uS = jnp.concatenate(uS_blocks, axis=-1)  # (p1^2, qB)
+            uD = jnp.concatenate(uD_blocks, axis=-1)
+            gxy = _mm(m[:2 * q2], uS, precision)  # (2q^2, qB)
+            gz = _mm(m[2 * q2:], uD, precision)   # (q^2, qB)
+            gx, gy = gxy[:q2], gxy[q2:]
+            t0 = ge[0] * gx + ge[1] * gy + ge[2] * gz
+            t1 = ge[1] * gx + ge[3] * gy + ge[4] * gz
+            t2 = ge[2] * gx + ge[4] * gy + ge[5] * gz
+            w1 = _mm(m[:2 * q2], jnp.concatenate([t0, t1], axis=0),
+                     precision, dims=dn_t)        # (p1^2, qB)
+            w2 = _mm(m[2 * q2:], t2, precision, dims=dn_t)
+            planes = []
+            for kz in range(p1):
+                a = (w1[:, :B] * Sz[0][kz] + w2[:, :B] * Dz[0][kz])
+                for qz in range(1, q):
+                    sl = slice(qz * B, (qz + 1) * B)
+                    a = a + w1[:, sl] * Sz[qz][kz] + w2[:, sl] * Dz[qz][kz]
+                planes.append(a)
+            vs.append(jnp.stack(planes, axis=0))  # (p1, p1^2, B)
+        v = jnp.stack(vs, axis=0)
+    else:
+        p13 = m.shape[1]
+        q3 = m.shape[0] // 3
+        u = u4.reshape(n_comp * p13, B)
+        g00, g01, g02 = (rep(g6[:q3]), rep(g6[q3:2 * q3]),
+                         rep(g6[2 * q3:3 * q3]))
+        g11, g12, g22 = (rep(g6[3 * q3:4 * q3]), rep(g6[4 * q3:5 * q3]),
+                         rep(g6[5 * q3:]))
+        vs = []
+        for c in range(n_comp):
+            u_c = u[c * p13:(c + 1) * p13, :]
+            gr = _mm(m, u_c, precision).reshape(3, q3, B)
+            t0 = g00 * gr[0] + g01 * gr[1] + g02 * gr[2]
+            t1 = g01 * gr[0] + g11 * gr[1] + g12 * gr[2]
+            t2 = g02 * gr[0] + g12 * gr[1] + g22 * gr[2]
+            vs.append(_mm(m, jnp.concatenate([t0, t1, t2], axis=0),
+                          precision, dims=dn_t))
+        v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
     v = v * mask[None]
     if "consistency" in ablate:
         return v
@@ -251,7 +321,7 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
 
 
 def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
-                     ncz_g, recurrence, compact,
+                     ncz_g, recurrence, compact, factor, zmats,
                      mats_ref, g6_ref, scal_ref, zoff_ref,
                      pm_ref, pp_ref,
                      x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
@@ -289,8 +359,6 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     z0 = zoff_ref[0]
     p1 = p + 1
     p2 = p * p
-    p13 = mats_ref.shape[1]
-    q3 = g6_ref.shape[0] // 6
     B = x_ref.shape[3]
     Bc = B // n_rep  # per-cell lane width of the prec/metric refs
     Lp = x_ref.shape[1]
@@ -313,8 +381,10 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     m = mats_ref[:]
     # upcast before reshape/slice: bf16 sublane-collapsing shape casts are
     # expensive (or unsupported) Mosaic relayouts; the metric multiplies
-    # into f32 MXU results anyway
-    g6_all = g6_ref[:].astype(acc).reshape(6 * q3, L, Bc)
+    # into f32 MXU results anyway.  Row/lane counts are layout-generic:
+    # dense (6q^3, L, Bc) vs twostage (6q^2, L, q*Bc)
+    g6_all = g6_ref[:].astype(acc).reshape(
+        g6_ref.shape[0], L, g6_ref.shape[-1])
 
     def layer(j, carry_in):
         """One z-cell layer (sublayer j of this grid step).
@@ -373,7 +443,7 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         d2f = _expand_mm(d2s, p, ncx) if compact else d2s
         v = _operator_block(precision, n_comp, p, ncx, ablate,
                             m, g6_all[:, j], rep, d2f, mask,
-                            compact=compact)
+                            compact=compact, factor=factor, zmats=zmats)
         first = v[:, :1] + carry_in
         vmain = (first if p == 1
                  else jnp.concatenate([first, v[:, 1:p]], axis=1))
@@ -442,6 +512,12 @@ def scalar_recurrence(s, alpha, beta, parity):
     res2, alpha_old, beta_old) — exactly ``solver_cg_optimized.h:249-295``.
     Shared by the in-kernel (single-chip) and XLA-level (distributed, after
     the psum) recurrence paths.
+
+    CG breakdown (s[0] = d.h = 0, where the reference asserts
+    ``ExcDivideByZero``) deliberately propagates NaN through alpha and the
+    residual estimate: ``res > tol`` then turns False, so the solver exits
+    with ``res = NaN``, ``converged = False`` — breakdown is
+    distinguishable from plain non-convergence by ``isnan(res)``.
     """
     alpha_n = s[6] / s[0]
     beta_n = alpha_n * (s[4] + alpha_n * s[5]) / s[6]
@@ -455,7 +531,7 @@ def scalar_recurrence(s, alpha, beta, parity):
 
 
 def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
-                   compact,
+                   compact, factor, zmats,
                    mats_ref, g6_ref, zoff_ref,
                    d_ref, zd_ref, dh_ref,
                    h2_ref, zh2_ref,
@@ -475,7 +551,6 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
     """
     ncz, ncy, ncx = dims
     z0 = zoff_ref[0]
-    q3 = g6_ref.shape[0] // 6
     B = d_ref.shape[3]
     Bc = B // n_rep
     Lp = d_ref.shape[1]
@@ -489,7 +564,8 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
         return a if n_rep == 1 else jnp.concatenate([a] * n_rep, axis=-1)
 
     m = mats_ref[:]
-    g6_all = g6_ref[:].astype(acc).reshape(6 * q3, L, Bc)
+    g6_all = g6_ref[:].astype(acc).reshape(
+        g6_ref.shape[0], L, g6_ref.shape[-1])
 
     carry_in = jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
     for j in range(L):
@@ -507,7 +583,7 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
             d_f = _expand_mm(d_f, p, ncx)
         v = _operator_block(precision, n_comp, p, ncx, ablate,
                             m, g6_all[:, j], rep, d_f, mask,
-                            compact=compact)
+                            compact=compact, factor=factor, zmats=zmats)
         first = v[:, :1] + carry_in
         vmain = (first if p == 1
                  else jnp.concatenate([first, v[:, 1:p]], axis=1))
@@ -541,7 +617,6 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
     R = p1 * p1
     Rs = p * p if compact else R
     q3 = op.w3.shape[0]
-    p13 = op.mats.shape[1]
     n_comp = d.shape[0]
     store = d.dtype
     acc = jnp.float32 if store == jnp.bfloat16 else store
@@ -556,16 +631,20 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
     if halo is None:
         halo = jnp.zeros((n_comp, 1, Rs, B), store)
 
+    q = round(q3 ** (1 / 3))
+    mats_op, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
+
     outs = pl.pallas_call(
         functools.partial(_matvec_kernel, op.precision, n_comp, p,
                           (ncz, ncy, ncx), acc, (), 1,
                           ncz_global if ncz_global is not None else ncz,
-                          compact),
+                          compact, op.factor, zmats),
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
+            pl.BlockSpec(mats_op.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6 * q3, L, 1, B), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((gm_op.shape[0], L, 1, gm_op.shape[3]),
+                         lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_comp, L * p, Rs, B), lambda i: (0, i, 0, 0),
@@ -591,7 +670,7 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(op.mats, op.gmetric.reshape(6 * q3, ncz, 1, B),
+    )(mats_op, gm_op,
       jnp.asarray(z0, jnp.int32).reshape(1), d, zd, halo)
     return outs  # (h, zh)
 
@@ -674,7 +753,6 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     R = p1 * p1
     Rs = p * p if compact else R  # stored rows per state plane
     q3 = op.w3.shape[0]
-    p13 = op.mats.shape[1]
     n_comp = x.shape[0]
     acc = x.dtype
     store = d.dtype
@@ -747,10 +825,16 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         out_specs.append(halo_spec(n_comp))
         out_shape.append(jax.ShapeDtypeStruct((n_comp, 1, Rs, Bs), acc))
 
+    if op.factor == "twostage" and n_rep != 1:
+        raise ValueError("factor='twostage' does not support lane folding")
+    q = round(q3 ** (1 / 3))
+    mats_op, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
+
     base = functools.partial(
         _fused_cg_kernel, op.precision, n_comp, p,
         (ncz, ncy, ncx), acc, store, _ablate, n_rep,
-        ncz_global if ncz_global is not None else ncz, recurrence, compact)
+        ncz_global if ncz_global is not None else ncz, recurrence, compact,
+        op.factor, zmats)
     if want_carry:
         kern = base
     else:
@@ -777,11 +861,13 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         grid=(nsteps,),
         input_output_aliases=aliases,
         in_specs=[
-            pl.BlockSpec((3 * q3, p13), lambda i: (0, 0),
+            pl.BlockSpec(mats_op.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            # 3D metric (6q^3, ncz, B): lane-dim block equals the array dim
-            # (Mosaic divisible-or-full constraint; B < 128 for s < 10)
-            pl.BlockSpec((6 * q3, L, 1, B), lambda i: (0, i, 0, 0),
+            # metric (rows, ncz, lanes): lane-dim block equals the array dim
+            # (Mosaic divisible-or-full constraint; B < 128 for s < 10).
+            # dense rows 6q^3 lanes B; twostage rows 6q^2 lanes q*B
+            pl.BlockSpec((gm_op.shape[0], L, 1, gm_op.shape[3]),
+                         lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -802,7 +888,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(op.mats, op.gmetric.reshape(6 * q3, ncz, 1, B), scal,
+    )(mats_op, gm_op, scal,
       jnp.asarray(z0, jnp.int32).reshape(1),
       prec_pieces, prec_pieces, x, g, zg, d, zd, h, zh,
       g_h, d_h, h_h, p_h)

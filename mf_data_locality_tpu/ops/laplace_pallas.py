@@ -64,6 +64,60 @@ def _tensor3(az: np.ndarray, ay: np.ndarray, ax: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(out.reshape(q**3, p1**3))
 
 
+def _dense_gradient_matrices_2d(p: int, q: int) -> np.ndarray:
+    """[Dx2d; Dy2d; S2d] stacked (3*q^2, (p+1)^2) for the two-stage form.
+
+    The dense 3D gradient matrices factor as M_x = S_z (x) Dx2d,
+    M_y = S_z (x) Dy2d, M_z = D_z (x) S2d — the two-stage apply contracts
+    the z direction first (a (p+1)-term plane recurrence on the VPU) and
+    runs only the 2D stage on the MXU, cutting the contraction FLOPs by
+    (p+1)x at the cost of a smaller K = (p+1)^2 (VERDICT round-2 item 1:
+    the FLOP-reducing factorization of the reference's sum-factorized hot
+    loop, ``poisson_operator.h:534-666``, measured against the dense form).
+    Rows are (qy, qx) lex (x fastest), columns (ky, kx) lex.
+    """
+    shape = lagrange.make_shape(p, q)
+    S, Sg = shape.values, shape.grads
+
+    def t2(ay, ax):
+        out = np.einsum("bj,ai->baji", ay, ax)
+        return np.ascontiguousarray(out.reshape(q * q, (p + 1) * (p + 1)))
+
+    return np.concatenate([t2(S, Sg), t2(Sg, S), t2(S, S)], axis=0)
+
+
+def _z_matrices(p: int, q: int) -> tuple[np.ndarray, np.ndarray]:
+    """(S_z, D_z) of shape (q, p+1): the 1D z-direction factors, applied as
+    unrolled VPU plane recurrences in the two-stage kernels (host constants
+    baked into the kernel closure)."""
+    shape = lagrange.make_shape(p, q)
+    return np.asarray(shape.values), np.asarray(shape.grads)
+
+
+def _piece_perm2d(p: int) -> np.ndarray:
+    """2D analog of :func:`_piece_perm`: one kz-plane's (ky, kx) node order
+    rearranged to (mm, mp, pm, pp) piece rows."""
+    p1 = p + 1
+    idx = [ky * p1 + kx for ky in range(p) for kx in range(p)]
+    idx += [ky * p1 + p for ky in range(p)]
+    idx += [p * p1 + kx for kx in range(p)]
+    idx.append(p * p1 + p)
+    return np.asarray(idx)
+
+
+def gmetric_twostage(gm, q: int, ncz: int, B: int):
+    """(6*q^3, nc) metric -> (6*q^2, ncz, 1, q*B) two-stage layout.
+
+    The two-stage 2D stage works on (qy, qx)-row x (qz*B + cell)-lane
+    arrays, so the metric stream must carry qz in the lane axis.  Pure
+    permutation (trace-time; constant-folded when the operator is captured
+    as a jit constant).  Works for numpy and jax arrays.
+    """
+    t = gm.reshape(6, q, q * q, ncz, B)
+    t = t.transpose(0, 2, 3, 1, 4)
+    return t.reshape(6 * q * q, ncz, 1, q * B)
+
+
 def _monomial_derivative_matrices(q_points: np.ndarray) -> tuple[np.ndarray, ...]:
     """P_du, P_dv, P_dw of shape (q^3, 8): derivative of the trilinear
     monomials [1,u,v,uv,w,uw,vw,uvw] at every tensor quadrature point."""
@@ -111,6 +165,14 @@ class PallasOperatorData:
     # it to "none" and keeps external masking (slab z-extremes are halo, not
     # Dirichlet).
     mask_mode: str = field(metadata=dict(static=True), default="none")
+    # two-stage factorization (pieces windowing only): [Dx2d; Dy2d; S2d]
+    # stacked (3*q^2, (p+1)^2), columns piece-permuted; the z factors are
+    # rebuilt from (p, q) at kernel-launch time (static constants)
+    mats2d: jax.Array | None = None
+    # "dense": one (3q^3, p1^3) MXU contraction pair per layer (max MXU
+    # utilization, (p+1)x the FLOPs); "twostage": z on the VPU + 2D MXU
+    # stage (minimal FLOPs, K = (p+1)^2) — measured per (p, precision)
+    factor: str = field(metadata=dict(static=True), default="dense")
 
 
 def _metric_entries(coeffs: np.ndarray, q_points: np.ndarray,
@@ -180,7 +242,8 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
                          metric: str = "precomputed",
                          precision: str = "highest",
                          windowing: str = "reshape",
-                         metric_dtype=None) -> PallasOperatorData:
+                         metric_dtype=None,
+                         factor: str = "dense") -> PallasOperatorData:
     """Build the Pallas operator.
 
     ``metric``: "precomputed" stores the 6 metric entries per q-point
@@ -276,6 +339,17 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         raise ValueError(f"unknown windowing mode {windowing!r}")
     if windowing != "pieces":
         mask_mode = "none"
+    if factor not in ("dense", "twostage"):
+        raise ValueError(f"unknown factor mode {factor!r}")
+    mats2d = None
+    if windowing == "pieces":
+        # always built (tiny): lets solvers A/B the factorization without
+        # rebuilding the operator
+        mats2d = jnp.asarray(
+            _dense_gradient_matrices_2d(p, q)[:, _piece_perm2d(p)],
+            dtype=dtype)
+    elif factor == "twostage":
+        raise ValueError("factor='twostage' requires windowing='pieces'")
     return PallasOperatorData(
         mats=jnp.asarray(mats, dtype=dtype),
         pds=jnp.asarray(pds, dtype=dtype),
@@ -290,6 +364,8 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         precision=precision,
         windowing=windowing,
         mask_mode=mask_mode,
+        mats2d=mats2d,
+        factor=factor,
     )
 
 
@@ -308,6 +384,12 @@ def _mm(a, b, precision, dims=None):
     "split2m": matrices rounded to bf16 (fixed ~2e-3 operator
     perturbation, ~+2 CG iterations) with hi/lo-split stream — 2/3 the
     MXU passes of split3.  "bf16": one pass on rounded operands.
+
+    NOTE: when the streamed operand is ALREADY bf16 (dtype=bf16 runs),
+    "split3" and "split2m" degrade gracefully to fewer passes — split2m
+    becomes a single bf16 x bf16 product, so its documented "per-apply
+    stream noise at f32 class" does NOT hold for that combination (it is
+    then identical to precision="bf16").
     """
     dn = dims if dims is not None else (((1,), (0,)), ((), ()))
     f32 = jnp.float32 if a.dtype in (jnp.float32, jnp.bfloat16) else a.dtype

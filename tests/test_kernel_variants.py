@@ -191,3 +191,56 @@ def test_high_degree_pallas_matches_structured(p):
     v = lp.vmult(op_p, u)
     scale = float(jnp.max(jnp.abs(v_ref)))
     assert float(jnp.max(jnp.abs(v_ref - v))) < 1e-11 * scale
+
+
+# ---------------------------------------------------------------------------
+# two-stage factorization (round 3): z on the VPU + 2D MXU stage must equal
+# the dense (3q^3, p1^3) contraction path exactly (same operator, different
+# association order only)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("s,p", [(5, 1), (6, 2), (6, 3), (6, 4)])
+def test_twostage_piece_vmult_matches_dense(s, p):
+    from mf_data_locality_tpu.ops import cg_fused_kernel as fk
+
+    layout = DofLayout(BoxMesh.from_s(s), p)
+    u = _rand_u(layout)
+    outs = {}
+    for factor in ("dense", "twostage"):
+        op = lp.make_pallas_operator(layout, dtype=jnp.float64,
+                                     precision="highest",
+                                     windowing="pieces", factor=factor)
+        uu = u * op.mask.astype(u.dtype)
+        d = fk.to_piece_state(uu, p)
+        zd = fk.zplanes_init(d, p)
+        h, _ = fk.piece_vmult(op, layout.n_nodes_axis, d, zd, interpret=True)
+        outs[factor] = np.asarray(
+            fk.from_piece_state(h, p, layout.n_nodes_axis))
+    scale = np.abs(outs["dense"]).max()
+    assert np.abs(outs["dense"] - outs["twostage"]).max() < 1e-13 * scale
+
+
+@pytest.mark.parametrize("s,p", [(6, 2), (6, 4)])
+def test_twostage_fused_solve_matches_dense(s, p):
+    from mf_data_locality_tpu.solvers import cg_fused
+
+    results = {}
+    for factor in ("dense", "twostage"):
+        problem = bp4.build(s, p, dtype=jnp.float64, backend="pallas",
+                            precision="highest", windowing="pieces",
+                            factor=factor)
+        lataxis = problem.layout.n_nodes_axis
+        res = cg_fused.fused_merged_cg_solve(
+            problem.op, lataxis, problem.b.reshape((3,) + lataxis),
+            problem.inv_diag.reshape((1,) + lataxis))
+        results[factor] = res
+    rd, rt = results["dense"], results["twostage"]
+    assert int(rd.n_iterations) == int(rt.n_iterations)
+    n = int(rd.n_iterations) + 1
+    hd = np.asarray(rd.res_history)[:n]
+    ht = np.asarray(rt.res_history)[:n]
+    # identical recurrence; only sub-tolerance tail entries see f64
+    # rounding-order differences (same bound as fused-vs-merged)
+    np.testing.assert_allclose(ht, hd, rtol=1e-6, atol=1e-8 * hd[0])
+    xd, xt = np.asarray(rd.x), np.asarray(rt.x)
+    np.testing.assert_allclose(xt, xd, atol=1e-11 * max(1.0, np.abs(xd).max()))
