@@ -321,7 +321,7 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
 
 
 def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
-                     ncz_g, recurrence, compact, factor, zmats,
+                     ncz_g, recurrence, compact, factor, zmats, ioff,
                      mats_ref, g6_ref, scal_ref, zoff_ref,
                      pm_ref, pp_ref,
                      x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
@@ -329,7 +329,7 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
                      x2_ref, g2_ref, d2_ref, h2_ref,
                      zg2_ref, zd2_ref, zh2_ref,
                      dots_ref, carry_out_ref,
-                     carry_ref, dacc_ref):
+                     carry_ref, dacc_ref, carry0_ref=None):
     """One grid step (L z-cell layers) of the fused CG iteration.
 
     See the module docstring for the iteration structure; L is derived
@@ -354,6 +354,14 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     reference's single allreduce, ``poisson_operator.h:373-375``) instead
     of running the scalar recurrence in-kernel; and the z carry plane is
     emitted through ``carry_out_ref`` for the upward neighbor.
+
+    Split-grid (comm/compute-overlap) form: ``ioff`` places this call's
+    grid steps at offset ``ioff`` of the conceptual full sweep (the
+    per-grid-step BlockSpec index maps carry the same offset), and
+    ``carry0_ref`` supplies the z-carry entering the first executed step
+    (the preceding call's ``carry_out``).  Scratch accumulators (carry,
+    dot partials) reset on the first *executed* step, so a split call
+    emits only its own steps' partial sums.
     """
     ncz, ncy, ncx = dims
     z0 = zoff_ref[0]
@@ -363,8 +371,9 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     Bc = B // n_rep  # per-cell lane width of the prec/metric refs
     Lp = x_ref.shape[1]
     L = Lp // p  # z-cell layers per grid step
-    nsteps = ncz // L
-    i = pl.program_id(0)
+    nsteps = ncz // L  # steps of the FULL sweep (this call may run fewer)
+    prog = pl.program_id(0)
+    i = prog + ioff  # step index within the full sweep
     last = i == nsteps - 1
 
     del ncy  # geometry comes via the mask helper
@@ -473,8 +482,9 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
             ])
         return part, v[:, p]
 
-    carry_in = jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
-    total = jnp.where(i > 0, dacc_ref[:], 0.0)
+    c0 = carry0_ref[:][:, 0] if carry0_ref is not None else 0.0
+    carry_in = jnp.where(prog > 0, carry_ref[:], c0)[:, None]
+    total = jnp.where(prog > 0, dacc_ref[:], 0.0)
     for j in range(L):
         part, carry_plane = layer(j, carry_in)
         total = total + part
@@ -712,6 +722,8 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        alias: bool = True,
                        layers_per_step: int = 1,
                        compact: bool = False,
+                       step_range: tuple[int, int] | None = None,
+                       carry0: jax.Array | None = None,
                        _ablate: tuple = ()):
     """Run one fused CG iteration;
     returns (x', g', d', h', zg', zd', zh', scal'[, carry]).
@@ -741,6 +753,17 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     layers); ``recurrence=False`` — return raw local partial sums instead
     of running the scalar recurrence; ``want_carry=True`` — additionally
     return the (C, 1, R, Bs) z-carry plane owed to the upward neighbor.
+
+    ``step_range=(i0, i1)`` runs only grid steps i0..i1-1 of the full
+    z sweep over the SAME full-size (aliased, in-place) state buffers —
+    blocks outside the range keep their input values.  Used by the
+    comm/compute-overlap distributed path (the fused-kernel analog of
+    ``cell_loop``'s pre/post-ghost cell partitioning,
+    ``poisson_operator.h:339-364``): an interior call [0, nsteps-1) with
+    no halo dependency runs while the halo ``ppermute`` is in flight, and
+    a boundary call [nsteps-1, nsteps) consumes the halo plus the interior
+    call's carry via ``carry0``.  The per-call dot partials cover only the
+    executed steps (sum them across calls before the psum).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -763,9 +786,13 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             f"layers_per_step={L} does not divide the z-layer count {ncz}")
     L = max(L, 1)
     nsteps = ncz // L
+    i0, i1 = step_range if step_range is not None else (0, nsteps)
+    if not (0 <= i0 < i1 <= nsteps):
+        raise ValueError(f"step_range {step_range} outside [0, {nsteps}]")
 
     def main_spec(c, lanes=Bs):
-        return pl.BlockSpec((c, L * p, Rs, lanes), lambda i: (0, i, 0, 0),
+        return pl.BlockSpec((c, L * p, Rs, lanes),
+                            lambda i: (0, i + i0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def plus_spec(c, lanes=Bs):
@@ -774,7 +801,8 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         # step (the kernel substitutes the halo plane there)
         return pl.BlockSpec(
             (c, 1, Rs, lanes),
-            lambda i: (0, jnp.minimum(i * (L * p) + L * p, nzm - 1), 0, 0),
+            lambda i: (0, jnp.minimum((i + i0) * (L * p) + L * p, nzm - 1),
+                       0, 0),
             memory_space=pltpu.VMEM)
 
     def zplus_spec(c, lanes=Bs):
@@ -782,11 +810,11 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         # (clamped; the last step substitutes the halo plane in-kernel)
         return pl.BlockSpec(
             (c, 1, Rs, lanes),
-            lambda i: (0, jnp.minimum(i * L + L, ncz - 1), 0, 0),
+            lambda i: (0, jnp.minimum((i + i0) * L + L, ncz - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
     def zout_spec(c, lanes=Bs):
-        return pl.BlockSpec((c, L, Rs, lanes), lambda i: (0, i, 0, 0),
+        return pl.BlockSpec((c, L, Rs, lanes), lambda i: (0, i + i0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def halo_spec(c, lanes=Bs):
@@ -834,13 +862,19 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         _fused_cg_kernel, op.precision, n_comp, p,
         (ncz, ncy, ncx), acc, store, _ablate, n_rep,
         ncz_global if ncz_global is not None else ncz, recurrence, compact,
-        op.factor, zmats)
-    if want_carry:
-        kern = base
-    else:
-        def kern(*refs):
+        op.factor, zmats, i0)
+
+    def kern(*refs):
+        refs = list(refs)
+        # the optional carry0 operand sits after the 17 fixed inputs
+        c0_ref = refs.pop(17) if carry0 is not None else None
+        if want_carry:
+            *head, dots_ref, carry_out_ref, carry_ref, dacc_ref = refs
+        else:
             *head, dots_ref, carry_ref, dacc_ref = refs
-            return base(*head, dots_ref, None, carry_ref, dacc_ref)
+            carry_out_ref = None
+        return base(*head, dots_ref, carry_out_ref, carry_ref, dacc_ref,
+                    c0_ref)
 
     # Alias every state operand to its output so the while-loop carried
     # buffers update in place — XLA otherwise copies all four state arrays
@@ -856,29 +890,38 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     aliases = ({6: 0, 7: 1, 8: 4, 9: 2, 10: 5, 11: 3, 12: 6}
                if alias else {})
 
+    in_specs = [
+        pl.BlockSpec(mats_op.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        # metric (rows, ncz, lanes): lane-dim block equals the array dim
+        # (Mosaic divisible-or-full constraint; B < 128 for s < 10).
+        # dense rows 6q^3 lanes B; twostage rows 6q^2 lanes q*B
+        pl.BlockSpec((gm_op.shape[0], L, 1, gm_op.shape[3]),
+                     lambda i: (0, i + i0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        main_spec(1, B), plus_spec(1, B),
+        main_spec(n_comp),                      # x (no plus plane)
+        main_spec(n_comp), zplus_spec(n_comp),  # g
+        main_spec(n_comp), zplus_spec(n_comp),  # d
+        main_spec(n_comp), zplus_spec(n_comp),  # h
+        halo_spec(n_comp), halo_spec(n_comp), halo_spec(n_comp),
+        halo_spec(1, B),
+    ]
+    operands = [mats_op, gm_op, scal,
+                jnp.asarray(z0, jnp.int32).reshape(1),
+                prec_pieces, prec_pieces, x, g, zg, d, zd, h, zh,
+                g_h, d_h, h_h, p_h]
+    if carry0 is not None:
+        in_specs.append(halo_spec(n_comp))
+        operands.append(carry0)
+
     outs = pl.pallas_call(
         kern,
-        grid=(nsteps,),
+        grid=(i1 - i0,),
         input_output_aliases=aliases,
-        in_specs=[
-            pl.BlockSpec(mats_op.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            # metric (rows, ncz, lanes): lane-dim block equals the array dim
-            # (Mosaic divisible-or-full constraint; B < 128 for s < 10).
-            # dense rows 6q^3 lanes B; twostage rows 6q^2 lanes q*B
-            pl.BlockSpec((gm_op.shape[0], L, 1, gm_op.shape[3]),
-                         lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            main_spec(1, B), plus_spec(1, B),
-            main_spec(n_comp),                      # x (no plus plane)
-            main_spec(n_comp), zplus_spec(n_comp),  # g
-            main_spec(n_comp), zplus_spec(n_comp),  # d
-            main_spec(n_comp), zplus_spec(n_comp),  # h
-            halo_spec(n_comp), halo_spec(n_comp), halo_spec(n_comp),
-            halo_spec(1, B),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -888,8 +931,5 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(mats_op, gm_op, scal,
-      jnp.asarray(z0, jnp.int32).reshape(1),
-      prec_pieces, prec_pieces, x, g, zg, d, zd, h, zh,
-      g_h, d_h, h_h, p_h)
+    )(*operands)
     return outs  # (x', g', d', h', zg', zd', zh', scal'[, carry])

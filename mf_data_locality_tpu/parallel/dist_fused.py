@@ -54,7 +54,7 @@ def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
                 x0: jax.Array | None = None,
                 max_iter: int = 100, abs_tol: float = 1e-15,
                 rel_tol: float = 1e-8, fold: bool = False,
-                compact: bool = True,
+                compact: bool = True, overlap: bool = False,
                 interpret: bool | None = None) -> SolveResult:
     """Distributed fused-kernel merged-CG solve.
 
@@ -63,6 +63,15 @@ def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
     entry, same residual history as the reference's ``g = Ax - b`` path).
     Returns ``x`` as (D, C, Pp+1, Ny, Nx) lattice slabs compatible with
     :func:`parallel.distributed.gather_global`.
+
+    ``overlap=True`` splits each iteration's kernel into an interior call
+    (z-layers 0..n-2, no halo dependency) and a boundary call (top layer,
+    consumes the halo), so the downward halo ``ppermute`` is data-independent
+    of the interior call and an async-collective backend can hide the ICI
+    transfer behind it — the fused-kernel realization of the reference's
+    pre/post-ghost range partitioning (``poisson_operator.h:339-364``).
+    Bitwise-identical iteration algebra (same layer order, same carry
+    chain); requires >= 2 local z-cell layers (falls back otherwise).
     """
     n_dev = dp.n_devices
 
@@ -79,7 +88,7 @@ def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
         out = _solve_local(op, inv_diag[0], b_loc, n_dev, ncz_g,
                            max_iter=max_iter, abs_tol=abs_tol,
                            rel_tol=rel_tol, fold=fold, compact=compact,
-                           interpret=interpret)
+                           overlap=overlap, interpret=interpret)
         if x0_ is not None:
             out = (out[0] + x0_,) + out[1:]
         return out
@@ -100,7 +109,7 @@ def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
 
 
 def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
-                 fold, compact, interpret):
+                 fold, compact, interpret, overlap=False):
     """Per-device solve body (inside shard_map).
 
     ``inv_diag``: (1, Pp+1, Ny, Nx); ``b``: (C, Pp+1, Ny, Nx) lattice slabs
@@ -158,15 +167,36 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
         it, res = state[8], state[9]
         return (res > tol) & (it < max_iter)
 
+    do_overlap = overlap and ncz_loc >= 2
+
     def body(state):
         x, g, d, h, zg, zd, zh, scal, it, _, hist = state
         it = it + 1
         halo = (recv_next(g), recv_next(d), recv_next(h), p_h)
-        x, g, d, h, zg, zd, zh, s, carry = fk.fused_cg_iteration(
-            op, slab_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
-            interpret=interpret, n_rep=n_rep, halo=halo,
-            z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True,
-            compact=compact)
+        if do_overlap:
+            # interior z-layers first — no data dependency on the halo
+            # ppermute above, so the ICI transfer can ride behind this
+            # call (the reference's ghost-overlap slot,
+            # poisson_operator.h:339-364); then the boundary layer
+            # consumes the halo + the interior carry
+            x, g, d, h, zg, zd, zh, s_i, carry_i = fk.fused_cg_iteration(
+                op, slab_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
+                interpret=interpret, n_rep=n_rep, halo=None,
+                z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True,
+                compact=compact, step_range=(0, ncz_loc - 1))
+            x, g, d, h, zg, zd, zh, s_b, carry = fk.fused_cg_iteration(
+                op, slab_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
+                interpret=interpret, n_rep=n_rep, halo=halo,
+                z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True,
+                compact=compact, step_range=(ncz_loc - 1, ncz_loc),
+                carry0=carry_i)
+            s = s_i + s_b
+        else:
+            x, g, d, h, zg, zd, zh, s, carry = fk.fused_cg_iteration(
+                op, slab_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
+                interpret=interpret, n_rep=n_rep, halo=halo,
+                z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True,
+                compact=compact)
         # z-carry add-back (the compress ppermute) + exact dot corrections:
         # only the five h-dependent sums change, by single-plane deltas
         carry_in = (jnp.zeros_like(carry) if n_dev == 1

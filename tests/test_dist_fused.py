@@ -112,3 +112,42 @@ def test_dist_fused_bf16_storage_converges():
     res = dist_fused.solve_fused(dp, mesh)
     assert bool(res.converged)
     assert abs(int(res.n_iterations) - int(r32.n_iterations)) <= 6
+
+
+@pytest.mark.parametrize("s,p,D", [(7, 2, 2), (7, 2, 3), (6, 3, 2)])
+def test_dist_fused_overlap_matches_single(s, p, D):
+    """Comm/compute-overlap split (interior + boundary kernel calls) must
+    reproduce the single-device solve exactly — same iteration counts and
+    solutions (VERDICT round-2 item 3); covers divisible (s=7 -> ncz=4,
+    D=2: 2 layers/device) and non-divisible (D=3: 2 layers + dummy
+    padding) z-layer counts.  NOTE from_s puts z on the smallest axis
+    (ncz = 2^(s//3)), so D=4 at s=7 would be the 1-layer fallback."""
+    ref, lataxis = _single(s, p)
+    dp, mesh = dist_fused.build_dist_fused(s, p, n_devices=D,
+                                           dtype=jnp.float64)
+    res = dist_fused.solve_fused(dp, mesh, overlap=True)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    assert bool(res.converged)
+    xg = dist.gather_global(res.x, nz=lataxis[0])
+    xr = np.asarray(ref.x)
+    np.testing.assert_allclose(xg, xr,
+                               atol=1e-11 * max(1.0, np.abs(xr).max()))
+    n = int(ref.n_iterations) + 1
+    np.testing.assert_allclose(np.asarray(res.res_history)[:n],
+                               np.asarray(ref.res_history)[:n],
+                               rtol=1e-6, atol=1e-8 * float(ref.res_history[0]))
+
+
+def test_dist_fused_overlap_single_layer_fallback():
+    """ncz_loc == 1 has no interior layers: overlap must fall back to the
+    unsplit kernel and still match."""
+    s, p, D = 6, 2, 4  # ncz = 4 -> 1 layer/device
+    ref, lataxis = _single(s, p)
+    dp, mesh = dist_fused.build_dist_fused(s, p, n_devices=D,
+                                           dtype=jnp.float64)
+    res = dist_fused.solve_fused(dp, mesh, overlap=True)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    xg = dist.gather_global(res.x, nz=lataxis[0])
+    xr = np.asarray(ref.x)
+    np.testing.assert_allclose(xg, xr,
+                               atol=1e-11 * max(1.0, np.abs(xr).max()))
