@@ -67,7 +67,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             backend: str = "structured", verbose: bool = False,
             precision: str = "highest", windowing: str = "reshape",
             metric_dtype=None, layers_per_step: int = 1,
-            factor: str = "dense",
+            factor: str = "dense", x_skip: bool = False, prec_dtype=None,
             solve_repeats: int = 4, matvec_repeats: int = 2,
             matvec_inner: int = 50) -> RunResult:
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``)."""
@@ -121,7 +121,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             return cg_fused.fused_merged_cg_solve(
                 op_c, lataxis, b.reshape((problem.n_components,) + lataxis),
                 inv_diag.reshape((1,) + lataxis),
-                layers_per_step=layers_per_step)
+                layers_per_step=layers_per_step, x_skip=x_skip,
+                prec_dtype=prec_dtype)
         raw = partial(vmult_fn, op_c,
                       constrained_identity=(solver == "baseline"))
         a = raw if lat is None else (lambda u: raw(u.reshape(lat)).reshape(u.shape))
@@ -286,6 +287,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--overlap", action="store_true",
                     help="overlap halo exchange with interior compute "
                          "(distributed path)")
+    ap.add_argument("--x-skip", action="store_true",
+                    help="fused solver: elide x's HBM read/write on non-pay "
+                         "iterations of the delayed-x recurrence (exact)")
+    ap.add_argument("--prec-dtype", choices=["f32", "bf16"], default="f32",
+                    help="fused solver: storage dtype of the preconditioner "
+                         "stream (bf16 = ~0.4%% Jacobi perturbation)")
     args = ap.parse_args(argv)
 
     if not 1 <= args.degree <= 11:
@@ -310,7 +317,9 @@ def main(argv: list[str] | None = None) -> None:
                         precision=args.precision, windowing=args.windowing,
                         metric_dtype=md,
                         layers_per_step=args.layers_per_step,
-                        factor=args.factor)
+                        factor=args.factor, x_skip=args.x_skip,
+                        prec_dtype=(jnp.bfloat16 if args.prec_dtype == "bf16"
+                                    else None))
         print(r.row() + ("" if r.converged else "   [not converged]"))
 
 

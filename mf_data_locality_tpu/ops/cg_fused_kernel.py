@@ -367,9 +367,9 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     z0 = zoff_ref[0]
     p1 = p + 1
     p2 = p * p
-    B = x_ref.shape[3]
+    B = g_ref.shape[3]
     Bc = B // n_rep  # per-cell lane width of the prec/metric refs
-    Lp = x_ref.shape[1]
+    Lp = g_ref.shape[1]
     L = Lp // p  # z-cell layers per grid step
     nsteps = ncz // L  # steps of the FULL sweep (this call may run fewer)
     prog = pl.program_id(0)
@@ -426,11 +426,15 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         P_f = rep(full(pm_ref, pp_ref, ph_ref))  # (1, p1, R, B)
 
         # -- update4b (pre-sweep callback): delayed-x + g,d recurrences ----
-        x2 = (x_ref[:, sl].astype(acc) + c1 * d_f[:, :p]
-              + aob * (P_f[:, :p] * g_f[:, :p]))
+        # x_ref is None in the x-skip variant: on non-pay iterations of the
+        # delayed-x recurrence c1 = aob = 0, so x is untouched and its
+        # read/write traffic is elided entirely (lax.cond in the solver)
         g2 = g_f + alpha * h_f
         d2 = beta * d_f - P_f * g2
-        x2_ref[:, sl] = x2.astype(x2_ref.dtype)
+        if x_ref is not None:
+            x2 = (x_ref[:, sl].astype(acc) + c1 * d_f[:, :p]
+                  + aob * (P_f[:, :p] * g_f[:, :p]))
+            x2_ref[:, sl] = x2.astype(x2_ref.dtype)
         g2_ref[:, sl] = g2[:, :p].astype(g2_ref.dtype)
         # the Z-plane duplicates (planes at z-cell boundaries, read as the
         # next iteration's +1 planes) — kept in separate arrays so every
@@ -724,6 +728,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        compact: bool = False,
                        step_range: tuple[int, int] | None = None,
                        carry0: jax.Array | None = None,
+                       with_x: bool = True,
                        _ablate: tuple = ()):
     """Run one fused CG iteration;
     returns (x', g', d', h', zg', zd', zh', scal'[, carry]).
@@ -764,6 +769,13 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     a boundary call [nsteps-1, nsteps) consumes the halo plus the interior
     call's carry via ``carry0``.  The per-call dot partials cover only the
     executed steps (sum them across calls before the psum).
+
+    ``with_x=False`` elides the x operand and output entirely: on non-pay
+    iterations of the delayed-x recurrence c1 = aob = 0 leaves x untouched,
+    so its HBM read/write (2 of the ~9 state words per DoF) can be skipped
+    — pass x unchanged around the call (``solver_cg_optimized.h:132-160``'s
+    steady-state case where the x update is deferred).  Returns one fewer
+    array (no x').
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -830,7 +842,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         g_h, d_h, h_h, p_h = halo
 
     out_specs = [
-        main_spec(n_comp),                 # x'
+        *([main_spec(n_comp)] if with_x else []),   # x'
         main_spec(n_comp),                 # g'
         main_spec(n_comp),                 # d'
         main_spec(n_comp),                 # h'
@@ -840,7 +852,8 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), acc),
+        *([jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), acc)]
+          if with_x else []),
         jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), acc),
         jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), store),
         jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), store),
@@ -864,10 +877,15 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         ncz_global if ncz_global is not None else ncz, recurrence, compact,
         op.factor, zmats, i0)
 
+    n_in = 17 if with_x else 16
+
     def kern(*refs):
         refs = list(refs)
-        # the optional carry0 operand sits after the 17 fixed inputs
-        c0_ref = refs.pop(17) if carry0 is not None else None
+        # the optional carry0 operand sits after the fixed inputs
+        c0_ref = refs.pop(n_in) if carry0 is not None else None
+        if not with_x:
+            refs.insert(6, None)    # x_ref slot
+            refs.insert(17, None)   # x2_ref slot (after the 17 inputs)
         if want_carry:
             *head, dots_ref, carry_out_ref, carry_ref, dacc_ref = refs
         else:
@@ -886,9 +904,13 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     # grid sweeps z ascending; each Z[i+1] block is fetched before step
     # i+1 overwrites... (step i reads Z[i+1], step i+1 writes Z'[i+1] only
     # after its own inputs were fetched).  Operand order: mats, g6, scal,
-    # zoff, pm, pp, x, g, zg, d, zd, h, zh, gh, dh, hh, ph.
-    aliases = ({6: 0, 7: 1, 8: 4, 9: 2, 10: 5, 11: 3, 12: 6}
-               if alias else {})
+    # zoff, pm, pp, [x,] g, zg, d, zd, h, zh, gh, dh, hh, ph.
+    if with_x:
+        aliases = {6: 0, 7: 1, 8: 4, 9: 2, 10: 5, 11: 3, 12: 6}
+    else:
+        aliases = {6: 0, 7: 3, 8: 1, 9: 4, 10: 2, 11: 5}
+    if not alias:
+        aliases = {}
 
     in_specs = [
         pl.BlockSpec(mats_op.shape, lambda i: (0, 0),
@@ -902,7 +924,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         main_spec(1, B), plus_spec(1, B),
-        main_spec(n_comp),                      # x (no plus plane)
+        *([main_spec(n_comp)] if with_x else []),  # x (no plus plane)
         main_spec(n_comp), zplus_spec(n_comp),  # g
         main_spec(n_comp), zplus_spec(n_comp),  # d
         main_spec(n_comp), zplus_spec(n_comp),  # h
@@ -911,7 +933,8 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     ]
     operands = [mats_op, gm_op, scal,
                 jnp.asarray(z0, jnp.int32).reshape(1),
-                prec_pieces, prec_pieces, x, g, zg, d, zd, h, zh,
+                prec_pieces, prec_pieces,
+                *([x] if with_x else []), g, zg, d, zd, h, zh,
                 g_h, d_h, h_h, p_h]
     if carry0 is not None:
         in_specs.append(halo_spec(n_comp))
@@ -932,4 +955,4 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
-    return outs  # (x', g', d', h', zg', zd', zh', scal'[, carry])
+    return outs  # ([x',] g', d', h', zg', zd', zh', scal'[, carry])

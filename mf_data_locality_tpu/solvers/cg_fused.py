@@ -35,6 +35,8 @@ def fused_merged_cg_solve(
     alias: bool = True,
     layers_per_step: int = 1,
     compact: bool = True,
+    x_skip: bool = False,
+    prec_dtype=None,
 ) -> SolveResult:
     """Solve A x = b (lattice vectors (C, Nz, Ny, Nx)) with the fused kernel.
 
@@ -46,6 +48,15 @@ def fused_merged_cg_solve(
     ``compact``: store only the owner mm rows of the piece state (36% less
     state traffic at p=4); duplicated rows are reconstructed in VMEM by
     lane-rolls (:func:`ops.cg_fused_kernel._expand_mm`).
+    ``x_skip``: on non-pay iterations of the delayed-x recurrence
+    (c1 = aob = 0, every second iteration) run an x-less kernel variant via
+    ``lax.cond``, eliding x's HBM read+write — bitwise-identical algebra
+    (``solver_cg_optimized.h:132-160``'s deferred-x steady state).
+    ``prec_dtype``: storage dtype for the preconditioner stream (e.g.
+    bf16 — static data, halves P's read traffic; the kernel upcasts to the
+    accumulation dtype, so only P's values round, a ~0.4% relative Jacobi
+    perturbation; the reduced-precision storage capability slot,
+    ``vector_access_reduced.h:57-283``).
 
     On CG breakdown (d.h = 0 in the scalar recurrence) the residual becomes
     NaN, the while-loop condition ``res > tol`` turns False, and the solve
@@ -92,6 +103,8 @@ def fused_merged_cg_solve(
     if compact:
         prec_pieces = prec_pieces[:, :, :p2]
         g0 = g0[:, :, :p2]
+    if prec_dtype is not None:
+        prec_pieces = prec_pieces.astype(prec_dtype)
     if fold:
         g0 = fk.fold_state(g0)
     # ||g0||^2 over owner rows (each global DoF exactly once; boundary rows
@@ -111,15 +124,37 @@ def fused_merged_cg_solve(
         it, res = state[8], state[9]
         return (res > tol) & (it < max_iter)
 
+    def iterate(x, g, d, h, zg, zd, zh, scal, with_x=True):
+        return fk.fused_cg_iteration(
+            op, n_nodes_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
+            interpret=interpret, n_rep=n_rep, alias=alias,
+            layers_per_step=layers_per_step, compact=compact,
+            with_x=with_x)
+
     def body(state):
         x, g, d, h, zg, zd, zh, scal, it, _, hist = state
         it = it + 1
         # the whole per-iteration scalar recurrence runs inside the kernel;
         # scal' = (alpha, beta, c1, aob, parity, res2, alpha_old, beta_old)
-        x, g, d, h, zg, zd, zh, scal = fk.fused_cg_iteration(
-            op, n_nodes_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
-            interpret=interpret, n_rep=n_rep, alias=alias,
-            layers_per_step=layers_per_step, compact=compact)
+        if x_skip:
+            # non-pay iterations (c1 = aob = 0) leave x untouched: run the
+            # x-less kernel variant and pass x around the call
+            pay = (scal[2] != 0) | (scal[3] != 0)
+
+            def pay_fn(args):
+                return iterate(*args)
+
+            def skip_fn(args):
+                x_, g_, d_, h_, zg_, zd_, zh_, scal_ = args
+                g_, d_, h_, zg_, zd_, zh_, scal_ = iterate(
+                    x_, g_, d_, h_, zg_, zd_, zh_, scal_, with_x=False)
+                return x_, g_, d_, h_, zg_, zd_, zh_, scal_
+
+            x, g, d, h, zg, zd, zh, scal = jax.lax.cond(
+                pay, pay_fn, skip_fn, (x, g, d, h, zg, zd, zh, scal))
+        else:
+            x, g, d, h, zg, zd, zh, scal = iterate(x, g, d, h, zg, zd, zh,
+                                                   scal)
         res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
         return (x, g, d, h, zg, zd, zh, scal, it, res, hist.at[it].set(res))
 

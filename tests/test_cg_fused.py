@@ -288,3 +288,37 @@ def test_bf16_metric_operator_error_and_convergence():
     ref = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat, prec_lat)
     assert bool(res.converged)
     assert abs(int(res.n_iterations) - int(ref.n_iterations)) <= 8
+
+
+@pytest.mark.parametrize("s,p", [(6, 2), (6, 3)])
+def test_x_skip_exact(s, p):
+    """The x-skip variant (elide x's read/write on non-pay iterations via
+    lax.cond; solver_cg_optimized.h:132-160's deferred-x steady state) must
+    be bitwise-equivalent: same iterations, history, and solution."""
+    problem, lataxis, b_lat, prec_lat = _setup(s, p)
+    ref = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat,
+                                         prec_lat)
+    res = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat,
+                                         prec_lat, x_skip=True)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    n = int(ref.n_iterations) + 1
+    np.testing.assert_allclose(np.asarray(res.res_history)[:n],
+                               np.asarray(ref.res_history)[:n], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-13)
+
+
+def test_prec_dtype_bf16_converges():
+    """bf16 preconditioner storage (vector_access_reduced.h capability
+    slot): a ~0.4% Jacobi perturbation — same-quality solution, iteration
+    count within a small delta."""
+    problem, lataxis, b_lat, prec_lat = _setup(6, 3)
+    ref = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat,
+                                         prec_lat)
+    res = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat,
+                                         prec_lat, prec_dtype=jnp.bfloat16)
+    assert bool(res.converged)
+    assert abs(int(res.n_iterations) - int(ref.n_iterations)) <= 3
+    xr = np.asarray(ref.x)
+    np.testing.assert_allclose(np.asarray(res.x), xr,
+                               atol=1e-6 * max(1.0, np.abs(xr).max()))
