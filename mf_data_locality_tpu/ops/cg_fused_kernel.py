@@ -161,7 +161,8 @@ def _consistency_rows(p: int):
     return x0, xp, y0, yp
 
 
-def _make_consistent(v: jax.Array, p: int, ncx: int) -> jax.Array:
+def _make_consistent(v: jax.Array, p: int, ncx: int,
+                     y_split: bool = False) -> jax.Array:
     """Sum duplicate piece copies of shared y/x nodes and redistribute.
 
     v: (C, P1z, R, B) masked partial output.  The kx = p copy of cell
@@ -172,16 +173,33 @@ def _make_consistent(v: jax.Array, p: int, ncx: int) -> jax.Array:
     The y phase is identical with roll distance ncx, run on the x-consistent
     values so 4-way corner copies receive the full sum (dimension splitting,
     like a 2D halo exchange).
+
+    ``y_split``: the local cell block is a y-slab of the global box (2D
+    (z, y) decomposition), so the y-phase roll wraparound crosses a DEVICE
+    boundary instead of the masked global face.  The cross-boundary pairing
+    is deferred to the solver (a lane-slice ppermute after the kernel): the
+    last cell row's yp copies keep their LOCAL partial sum (the wrapped
+    import is masked off) and the first cell row's y0 copies keep their own
+    partial (instead of the wrapped redistribute) — the fused-path analog
+    of the ghost-face compress in ``MatrixFree::cell_loop``.
     """
     R = v.shape[2]
+    B = v.shape[3]
     x0, xp, y0, yp = _consistency_rows(p)
     rows = [v[:, :, r:r + 1, :] for r in range(R)]
 
     for src0, srcp, dist in ((x0, xp, 1), (y0, yp, ncx)):
         r0 = jnp.concatenate([rows[r] for r in src0], axis=2)
         rp = jnp.concatenate([rows[r] for r in srcp], axis=2)
-        s = rp + jnp.roll(r0, -dist, axis=3)
+        rolled = jnp.roll(r0, -dist, axis=3)
+        if y_split and dist == ncx:
+            lan = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 3)
+            rolled = jnp.where(lan >= B - ncx, 0.0, rolled)
+        s = rp + rolled
         s0 = jnp.roll(s, dist, axis=3)
+        if y_split and dist == ncx:
+            lan0 = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 3)
+            s0 = jnp.where(lan0 < ncx, r0, s0)
         for k, r in enumerate(srcp):
             rows[r] = s[:, :, k:k + 1, :]
         for k, r in enumerate(src0):
@@ -235,7 +253,8 @@ def _reduce_mm(v: jax.Array, p: int, ncx: int) -> jax.Array:
 
 
 def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
-                    mask, compact=False, factor="dense", zmats=None):
+                    mask, compact=False, factor="dense", zmats=None,
+                    y_split=False):
     """The BP4 operator on one z-cell layer of piece-form values.
 
     ``factor="dense"``: ``m`` is the (3q^3, p1^3) stacked gradient matrices
@@ -317,11 +336,12 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
         return v
     if compact:
         return _reduce_mm(v, p, ncx)  # (C, p1, p^2, B) consistent mm rows
-    return _make_consistent(v, p, ncx)
+    return _make_consistent(v, p, ncx, y_split=y_split)
 
 
 def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
                      ncz_g, recurrence, compact, factor, zmats, ioff,
+                     ncy_g, y_split,
                      mats_ref, g6_ref, scal_ref, zoff_ref,
                      pm_ref, pp_ref,
                      x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
@@ -365,6 +385,7 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     """
     ncz, ncy, ncx = dims
     z0 = zoff_ref[0]
+    y0 = zoff_ref[1]
     p1 = p + 1
     p2 = p * p
     B = g_ref.shape[3]
@@ -405,7 +426,8 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         sl = slice(j * p, (j + 1) * p)
 
         mask = rep(_dirichlet_mask_pieces(p, dims, Bc, l_, z0=z0,
-                                          ncz_global=ncz_g)).astype(acc)
+                                          ncz_global=ncz_g, y0=y0,
+                                          ncy_global=ncy_g)).astype(acc)
         if "mask" in ablate:
             mask = jnp.ones_like(mask)
 
@@ -456,7 +478,8 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         d2f = _expand_mm(d2s, p, ncx) if compact else d2s
         v = _operator_block(precision, n_comp, p, ncx, ablate,
                             m, g6_all[:, j], rep, d2f, mask,
-                            compact=compact, factor=factor, zmats=zmats)
+                            compact=compact, factor=factor, zmats=zmats,
+                            y_split=y_split)
         first = v[:, :1] + carry_in
         vmain = (first if p == 1
                  else jnp.concatenate([first, v[:, 1:p]], axis=1))
@@ -721,6 +744,9 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        halo: tuple | None = None,
                        z0: int = 0,
                        ncz_global: int | None = None,
+                       y0=0,
+                       ncy_global: int | None = None,
+                       y_split: bool = False,
                        recurrence: bool = True,
                        want_carry: bool = False,
                        alias: bool = True,
@@ -769,6 +795,16 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     a boundary call [nsteps-1, nsteps) consumes the halo plus the interior
     call's carry via ``carry0``.  The per-call dot partials cover only the
     executed steps (sum them across calls before the psum).
+
+    2D (z, y) decomposition (``y_split=True``, non-compact state only):
+    ``y0`` / ``ncy_global`` place this device's y cell rows in the global
+    mesh (the local dims come from ``n_nodes_axis``); the kernel's y-phase
+    consistency keeps boundary-row copies as LOCAL partial sums (see
+    :func:`_make_consistent`), which the solver completes with lane-slice
+    ppermutes + exact dot corrections after the kernel
+    (:mod:`parallel.dist_fused`).  The duplicated piece rows of the
+    non-compact state act as the y input halo, so no pre-kernel exchange
+    is needed.
 
     ``with_x=False`` elides the x operand and output entirely: on non-pay
     iterations of the delayed-x recurrence c1 = aob = 0 leaves x untouched,
@@ -868,6 +904,10 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
 
     if op.factor == "twostage" and n_rep != 1:
         raise ValueError("factor='twostage' does not support lane folding")
+    if y_split and compact:
+        raise ValueError(
+            "y_split requires the non-compact piece state (the duplicated "
+            "rows are the y input halo); pass compact=False")
     q = round(q3 ** (1 / 3))
     mats_op, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
 
@@ -875,7 +915,8 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         _fused_cg_kernel, op.precision, n_comp, p,
         (ncz, ncy, ncx), acc, store, _ablate, n_rep,
         ncz_global if ncz_global is not None else ncz, recurrence, compact,
-        op.factor, zmats, i0)
+        op.factor, zmats, i0,
+        ncy_global if ncy_global is not None else ncy, y_split)
 
     n_in = 17 if with_x else 16
 
@@ -932,7 +973,8 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         halo_spec(1, B),
     ]
     operands = [mats_op, gm_op, scal,
-                jnp.asarray(z0, jnp.int32).reshape(1),
+                jnp.stack([jnp.asarray(z0, jnp.int32),
+                           jnp.asarray(y0, jnp.int32)]),
                 prec_pieces, prec_pieces,
                 *([x] if with_x else []), g, zg, d, zd, h, zh,
                 g_h, d_h, h_h, p_h]

@@ -761,7 +761,8 @@ def _from_piece_forms(vm, vtop, p: int, n_nodes_axis) -> jax.Array:
 
 
 def _dirichlet_mask_pieces(p: int, dims, B: int, i, z0: int = 0,
-                           ncz_global: int | None = None):
+                           ncz_global: int | None = None,
+                           y0=0, ncy_global: int | None = None):
     """Full-box Dirichlet mask in piece-row order, from iota (no HBM).
 
     Rows are the concatenated piece rows (p^2 mm, p mp, p pm, 1 pp) with the
@@ -775,10 +776,14 @@ def _dirichlet_mask_pieces(p: int, dims, B: int, i, z0: int = 0,
     ``ncz_global`` the global layer count — the z Dirichlet faces then sit
     at GLOBAL layers 0 / ncz_global-1, and slab layers past the global top
     (dummy padding for non-divisible device counts) are masked entirely.
+    2D (z, y) decomposition adds the same pair for the y cell rows:
+    ``y0`` / ``ncy_global``.
     """
     ncz, ncy, ncx = dims
     if ncz_global is None:
         ncz_global = ncz
+    if ncy_global is None:
+        ncy_global = ncy
     p1 = p + 1
     p2 = p * p
     rows = p1 * p1
@@ -790,7 +795,9 @@ def _dirichlet_mask_pieces(p: int, dims, B: int, i, z0: int = 0,
     in_pm = (r >= p2 + p) & (r < p2 + 2 * p)
     ky = jnp.where(in_mm, r // p, jnp.where(in_mp, r - p2, p))
     kx = jnp.where(in_mm, r % p, jnp.where(in_pm, r - p2 - p, p))
-    ybad = ((cy == 0) & (ky == 0)) | ((cy == ncy - 1) & (ky == p))
+    gcy = y0 + cy  # global y-cell-row index
+    ybad = (((gcy == 0) & (ky == 0)) | ((gcy == ncy_global - 1) & (ky == p))
+            | (gcy >= ncy_global))
     xbad = ((cx == 0) & (kx == 0)) | ((cx == ncx - 1) & (kx == p))
     kz = jax.lax.broadcasted_iota(jnp.int32, (p1, 1), 0)
     gz = z0 + i  # global z-cell-layer index

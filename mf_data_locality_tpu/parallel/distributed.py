@@ -470,6 +470,7 @@ class DistributedBP4_2D:
     n_cells: int = field(metadata=dict(static=True), default=0)
     mesh_shape: tuple = field(metadata=dict(static=True), default=(1, 1))
     backend: str = field(metadata=dict(static=True), default="structured")
+    nc_global: tuple = field(metadata=dict(static=True), default=(0, 0, 0))
 
 
 def _pad_slice(arr: np.ndarray, axis: int, start: int, length: int
@@ -586,9 +587,13 @@ def build_distributed_2d(s: int, degree: int, mesh_shape: tuple[int, int],
             msk = _pad_slice(_pad_slice(mask_lat, 1, dz * Pz, Pz + 1),
                              2, dy * Py, Py + 1)
             if backend == "pallas":
+                # pieces windowing feeds the fused kernel, whose lane block
+                # IS one z-layer (ncy_loc*ncx cells) — pin the operator
+                # block so nc_pad == ncz_loc * B exactly
+                blk = ncy_loc * ncx if windowing == "pieces" else None
                 op = laplace_pallas.make_pallas_operator(
                     sl_layout, dtype=dtype, precision=precision,
-                    windowing=windowing, metric="deferred")
+                    windowing=windowing, metric="deferred", block=blk)
                 co_k = co.reshape(-1, 8, 3).transpose(2, 1, 0)
                 op = replace_coeffs_pallas_raw(op, co_k, msk, dtype)
             else:
@@ -612,6 +617,7 @@ def build_distributed_2d(s: int, degree: int, mesh_shape: tuple[int, int],
         n_cells=layout.mesh.n_cells,
         mesh_shape=(Dz, Dy),
         backend=backend,
+        nc_global=(ncz, ncy, ncx),
     )
     return dist, mesh
 
