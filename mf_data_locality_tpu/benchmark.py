@@ -67,11 +67,22 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             backend: str = "structured", verbose: bool = False,
             precision: str = "highest", windowing: str = "reshape",
             metric_dtype=None, layers_per_step: int = 1,
-            factor: str = "dense", x_skip: bool = False, prec_dtype=None,
+            factor: str = "auto", x_skip: bool = False, prec_dtype=None,
             solve_repeats: int = 4, matvec_repeats: int = 2,
             matvec_inner: int = 50) -> RunResult:
-    """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``)."""
+    """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``).
+
+    ``factor="auto"`` picks the measured-optimal contraction factorization
+    per degree: dense MXU matmuls for p <= 4, the two-stage form (z on the
+    VPU, 2D MXU stage) for p >= 5, where its (p+1)x FLOP cut wins
+    (tools/R3_BATCH1.txt, tools/PROBE_TWOSTAGE.txt: p=5 split3 436 -> 297
+    us/it, p=6 split3 786 -> 429, p=6 split2m 601 -> 379; p=4 dense wins).
+    """
     from functools import partial
+
+    if factor == "auto":
+        factor = ("twostage" if degree >= 5 and windowing == "pieces"
+                  else "dense")
 
     from mf_data_locality_tpu.models.bp4 import _VMULT
     from mf_data_locality_tpu.solvers import cg, cg_fused, cg_merged
@@ -279,11 +290,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="storage dtype of the precomputed metric stream")
     ap.add_argument("--layers-per-step", type=int, default=1,
                     help="z-cell layers per fused-kernel grid step")
-    ap.add_argument("--factor", choices=["dense", "twostage"],
-                    default="dense",
+    ap.add_argument("--factor", choices=["auto", "dense", "twostage"],
+                    default="auto",
                     help="fused-kernel contraction factorization: dense "
                          "(3q^3, p1^3) MXU matmuls vs twostage (z on the "
-                         "VPU + 2D MXU stage, (p+1)x fewer FLOPs)")
+                         "VPU + 2D MXU stage, (p+1)x fewer FLOPs); auto = "
+                         "dense for p<=4, twostage for p>=5 (measured)")
     ap.add_argument("--overlap", action="store_true",
                     help="overlap halo exchange with interior compute "
                          "(distributed path)")

@@ -1,0 +1,101 @@
+"""Per-degree roofline table for the production fused solver (p=1..8).
+
+VERDICT round-2 item 5: one session's bandwidth measurement, then for each
+degree the ladder's largest single-chip size with the production config,
+reporting solve and matvec throughput AND their roofline fractions:
+
+  - solve fraction: against the merged-CG ideal of 9 f32 words/DoF/iter
+    (x, g, d, h read+write + P + geometry; BASELINE.md traffic model).
+  - matvec fraction: against read-src + write-dst (8 B/DoF f32-class) plus
+    the operator's actual metric-stream bytes per DoF (precision-dependent).
+
+Run detached: setsid python tools/bench_perp_table.py [--precision split2m]
+                [--metric-dtype bf16] [--x-skip] [--prec-dtype bf16] \
+                < /dev/null > tools/PERP_TABLE.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = "/root/repo/tools/PERP_TABLE.txt"
+
+# largest ladder size per degree under the reference's single-rank budget
+# (p+1)^3 * 2^s * 3 < 6e6  (benchmark.h:245,252-257)
+LADDER = {1: 15, 2: 14, 3: 14, 4: 13, 5: 12, 6: 12, 7: 11, 8: 11}
+
+
+def log(msg):
+    print(msg, flush=True)
+    with open(OUT, "a") as f:
+        f.write(msg + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--precision", default="split2m")
+    ap.add_argument("--metric-dtype", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--x-skip", action="store_true", default=True)
+    ap.add_argument("--no-x-skip", dest="x_skip", action="store_false")
+    ap.add_argument("--prec-dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--degrees", default="1,2,3,4,5,6,7,8")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from mf_data_locality_tpu.benchmark import run_one
+    from mf_data_locality_tpu.utils import timing
+    from mf_data_locality_tpu.models import bp4
+
+    bw = timing.measure_hbm_bandwidth()
+    mdt = jnp.bfloat16 if args.metric_dtype == "bf16" else None
+    pdt = jnp.bfloat16 if args.prec_dtype == "bf16" else None
+    log(f"# per-degree roofline table  backend={jax.default_backend()}  "
+        f"bw={bw/1e9:.0f} GB/s  config: precision={args.precision} "
+        f"metric={args.metric_dtype} x_skip={args.x_skip} "
+        f"prec_dtype={args.prec_dtype} factor=auto")
+    log(f"#  p |  s |   n_dofs | time/it us | GDoF/s/it | frac_solve | "
+        f"time/mv us | mv GDoF/s | frac_mv | itCG")
+
+    solve_roofline = bw / 36.0  # 9 f32 words/DoF/iter
+    for p in [int(x) for x in args.degrees.split(",")]:
+        s = LADDER[p]
+        try:
+            r = run_one(p, s, solver="fused", dtype=jnp.float32,
+                        backend="pallas", precision=args.precision,
+                        windowing="pieces", metric_dtype=mdt,
+                        x_skip=args.x_skip, prec_dtype=pdt,
+                        solve_repeats=2, matvec_repeats=2, matvec_inner=20)
+            # matvec model: src read + dst write (+1/p z-plane re-touch) at
+            # f32 + the metric stream's actual bytes
+            pb = bp4.build(s, p, dtype=jnp.float32, backend="pallas",
+                           precision=args.precision, windowing="pieces",
+                           metric_dtype=mdt)
+            met_bytes = pb.op.gmetric.size * pb.op.gmetric.dtype.itemsize
+            mv_bytes_per_dof = 8.0 * (1 + 1 / p) + met_bytes / r.n_dofs
+            mv_roofline = bw / mv_bytes_per_dof
+            gsolve = r.dofs_per_s_per_it
+            gmv = r.n_dofs / r.time_per_matvec
+            log(f"  {p:2d} | {s:2d} | {r.n_dofs:8d} | "
+                f"{r.time_per_it*1e6:10.1f} | {gsolve/1e9:9.2f} | "
+                f"{gsolve/solve_roofline:10.3f} | "
+                f"{r.time_per_matvec*1e6:10.1f} | {gmv/1e9:9.2f} | "
+                f"{gmv/mv_roofline:7.3f} | {r.n_iterations}"
+                + ("" if r.converged else "  [not converged]"))
+        except Exception:
+            log(f"  {p:2d} | {s:2d} | FAILED")
+            log(traceback.format_exc())
+    log("# table done")
+
+
+if __name__ == "__main__":
+    main()
