@@ -333,7 +333,9 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
         v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
     v = v * mask[None]
     if "consistency" in ablate:
-        return v
+        # timing ablation: skip the consistency rolls (wrong values);
+        # compact mode must still narrow to the stored mm rows
+        return v[..., :p * p, :] if compact else v
     if compact:
         return _reduce_mm(v, p, ncx)  # (C, p1, p^2, B) consistent mm rows
     return _make_consistent(v, p, ncx, y_split=y_split)
