@@ -276,6 +276,17 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
     p1 = p + 1
     B = u4.shape[3]
     dn_t = (((0,), (0,)), ((), ()))
+    if "operator" in ablate:
+        # timing ablation: elide the MXU contractions + metric apply while
+        # keeping every operand stream and VPU phase (isolates the DMA +
+        # update/consistency/dots cost; g6 is charged with one use so its
+        # stream is not dead-code-eliminated)
+        v = u4 * mask[None] + g6[0, 0]
+        if "consistency" in ablate:
+            return v[..., :p * p, :] if compact else v
+        if compact:
+            return _reduce_mm(v, p, ncx)
+        return _make_consistent(v, p, ncx, y_split=y_split)
     if factor == "twostage":
         q2 = m.shape[0] // 3
         q = round(q2 ** 0.5)

@@ -101,6 +101,8 @@ def main():
         ("no-consistency", ("consistency",), 1),
         ("no-mask", ("mask",), 1),
         ("no-dots-no-consistency", ("dots", "consistency"), 1),
+        ("no-operator", ("operator",), 1),
+        ("streams-only", ("operator", "dots", "consistency"), 1),
         ("L=2", (), 2),
     ]
     for label, ab, L in cases:
