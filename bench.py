@@ -33,11 +33,14 @@ def main() -> None:
 
     degree, s = 4, 13  # 8192 cells, ~1.6M DoFs
     # headline config: whole-iteration fused Pallas kernel (piece-resident
-    # state, solvers/cg_fused.py) + split3 matmuls (explicit bf16 hi/lo
-    # 3-product decomposition — f32-class operator, CG-iteration-exact vs
-    # HIGHEST; see tools/MICROBENCH.txt, tools/PROBE_FUSED.txt)
+    # state, solvers/cg_fused.py) + split2m matmuls — bf16-rounded
+    # matrices (one fixed ~2e-3 SPD operator perturbation), hi/lo-split
+    # stream, 2 MXU passes.  Promoted to the default f32-class rung in
+    # round 3: iteration counts at the p=3..6 convergent points are within
+    # +1..+2 of the f64 reference and never worse than split3
+    # (PARITY.md "On-chip convergence evidence"; tools/R3_BATCH1.txt).
     r = run_one(degree, s, solver="fused", dtype=jnp.float32,
-                backend="pallas", precision="split3", windowing="pieces",
+                backend="pallas", precision="split2m", windowing="pieces",
                 solve_repeats=2, matvec_repeats=2, matvec_inner=20)
 
     ideal_bytes_per_dof_per_it = 9 * 4  # x,g,d,h sweeps + diag + geometry (f32)
@@ -52,13 +55,16 @@ def main() -> None:
           f"time/it={r.time_per_it:.3e}s time/matvec={r.time_per_matvec:.3e}s "
           f"measured_bw={bw/1e9:.0f}GB/s roofline={roofline/1e9:.2f}GDoF/s/it "
           f"converged={r.converged}", file=sys.stderr)
+    print("# NOTE: the raw GDoF/s/it value is the stable cross-round "
+          "signal; the roofline denominator varies with the session's "
+          "measured bandwidth (741-921 GB/s observed)", file=sys.stderr)
 
-    # split2m variant: bf16-rounded matrices (fixed ~2e-3 SPD operator
-    # perturbation, iteration-exact at the parity point), 2 MXU passes
+    # split3 variant: explicit bf16 hi/lo 3-product decomposition —
+    # bitwise f32-class matmuls, 3 MXU passes (the previous headline)
     r2 = run_one(degree, s, solver="fused", dtype=jnp.float32,
-                 backend="pallas", precision="split2m", windowing="pieces",
+                 backend="pallas", precision="split3", windowing="pieces",
                  solve_repeats=2, matvec_repeats=2, matvec_inner=20)
-    print(f"# split2m variant: dofs/s/it={r2.dofs_per_s_per_it:.3e} "
+    print(f"# split3 variant: dofs/s/it={r2.dofs_per_s_per_it:.3e} "
           f"({r2.dofs_per_s_per_it / roofline:.3f} of roofline) "
           f"time/it={r2.time_per_it:.3e}s itCG={r2.n_iterations}",
           file=sys.stderr)
