@@ -42,6 +42,15 @@ class LaplaceOperatorData(NamedTuple):
     coeffs: jax.Array  # (n_cells, 8, 3) trilinear geometry coefficients
     gather: jax.Array  # (n_cells, (p+1)^3) int32 cell-to-node map
     unconstrained: jax.Array  # (n_nodes,) 1.0 where free, 0.0 where Dirichlet
+    # transposed scatter map: for each node, the positions of its (cell,
+    # local-dof) copies in the flattened cell-local output, padded to the
+    # max node multiplicity (8 for conforming hex meshes).  Turns the
+    # scatter-add into KMAX gathers + a sum — TPU has no efficient
+    # duplicate-index scatter, while gathers vectorize (the capability of
+    # distribute_local_to_global_compressed, vector_access_reduced.h:293-531,
+    # realized as a precomputed conflict-free structure)
+    scatter_pos: jax.Array | None = None  # (n_nodes, KMAX) int32
+    scatter_valid: jax.Array | None = None  # (n_nodes, KMAX) 0/1
 
 
 def make_operator(
@@ -62,6 +71,8 @@ def make_operator(
     w = shape.q_weights
     q_w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(-1)
     coeffs = geometry.trilinear_coefficients(layout.mesh.cell_vertices)
+    pos, valid = _transposed_scatter_map(np.asarray(layout.gather_map),
+                                         layout.n_nodes)
     return LaplaceOperatorData(
         values=jnp.asarray(shape.values, dtype=dtype),
         d_col=jnp.asarray(shape.d_col, dtype=dtype),
@@ -70,7 +81,34 @@ def make_operator(
         coeffs=jnp.asarray(coeffs, dtype=dtype),
         gather=jnp.asarray(layout.gather_map),
         unconstrained=jnp.asarray(~layout.boundary_node_mask, dtype=dtype),
+        scatter_pos=jnp.asarray(pos),
+        scatter_valid=jnp.asarray(valid, dtype=dtype),
     )
+
+
+def _transposed_scatter_map(gather_map: np.ndarray, n_nodes: int
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Invert a (n_cells, nloc) gather map into per-node copy positions.
+
+    Returns ``pos`` (n_nodes, KMAX) int32 indices into the flattened
+    (n_cells * nloc) local output and ``valid`` (n_nodes, KMAX) 0/1 —
+    KMAX = max node multiplicity (8 for a conforming hex mesh: a vertex
+    node shared by up to 8 cells).  Unused slots point at position 0 with
+    valid = 0.
+    """
+    flat = gather_map.reshape(-1).astype(np.int64)
+    order = np.argsort(flat, kind="stable")
+    sorted_nodes = flat[order]
+    counts = np.bincount(sorted_nodes, minlength=n_nodes)
+    kmax = int(counts.max()) if counts.size else 1
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.zeros((n_nodes, kmax), np.int32)
+    valid = np.zeros((n_nodes, kmax), np.float64)
+    # slot index of each sorted entry within its node's run
+    slot = np.arange(flat.size) - np.repeat(starts, counts)
+    pos[sorted_nodes, slot] = order.astype(np.int32)
+    valid[sorted_nodes, slot] = 1.0
+    return pos, valid
 
 
 def apply_axis(mat: jax.Array, arr: jax.Array, axis: int) -> jax.Array:
@@ -134,17 +172,24 @@ def local_apply(op: LaplaceOperatorData, u_loc: jax.Array) -> jax.Array:
 
 
 def apply_cells(op: LaplaceOperatorData, u: jax.Array) -> jax.Array:
-    """Gather -> local apply -> scatter-add (no constraint handling).
+    """Gather -> local apply -> transposed-gather accumulate.
 
-    ``u``: (C, n_nodes).
+    ``u``: (C, n_nodes).  The cell-local output is accumulated back via the
+    precomputed per-node copy positions (KMAX gathers + sum) instead of a
+    duplicate-index ``.at[].add`` scatter, which XLA serializes on TPU
+    (measured ~30x at p=2 against the structured path before this map).
     """
     nc, nloc = op.gather.shape
     p1 = round(nloc ** (1 / 3))
     n_comp = u.shape[0]
     u_loc = u[:, op.gather].reshape(n_comp, nc, p1, p1, p1)
     v_loc = local_apply(op, u_loc)
-    out = jnp.zeros_like(u)
-    return out.at[:, op.gather.reshape(-1)].add(v_loc.reshape(n_comp, nc * nloc))
+    v_flat = v_loc.reshape(n_comp, nc * nloc)
+    if op.scatter_pos is None:
+        out = jnp.zeros_like(u)
+        return out.at[:, op.gather.reshape(-1)].add(v_flat)
+    return jnp.sum(v_flat[:, op.scatter_pos]
+                   * op.scatter_valid[None].astype(v_flat.dtype), axis=-1)
 
 
 def vmult(op: LaplaceOperatorData, u: jax.Array,
