@@ -27,7 +27,8 @@ OUT = "/root/repo/tools/PERP_TABLE.txt"
 
 # largest ladder size per degree under the reference's single-rank budget
 # (p+1)^3 * 2^s * 3 < 6e6  (benchmark.h:245,252-257)
-LADDER = {1: 15, 2: 14, 3: 14, 4: 13, 5: 12, 6: 12, 7: 11, 8: 11}
+LADDER = {1: 15, 2: 14, 3: 14, 4: 13, 5: 12, 6: 12, 7: 11, 8: 11,
+          9: 10, 10: 10, 11: 10}
 
 
 def log(msg):
@@ -38,12 +39,13 @@ def log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
+    # production config (round-3 measured): plain split2m + factor auto;
+    # metric-bf16 / x-skip / bf16-P all measured neutral (R3_BATCH2.txt)
     ap.add_argument("--precision", default="split2m")
-    ap.add_argument("--metric-dtype", default="bf16", choices=["f32", "bf16"])
-    ap.add_argument("--x-skip", action="store_true", default=True)
-    ap.add_argument("--no-x-skip", dest="x_skip", action="store_false")
+    ap.add_argument("--metric-dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--x-skip", action="store_true", default=False)
     ap.add_argument("--prec-dtype", default="f32", choices=["f32", "bf16"])
-    ap.add_argument("--degrees", default="1,2,3,4,5,6,7,8")
+    ap.add_argument("--degrees", default="1,2,3,4,5,6,7,8,9,10,11")
     args = ap.parse_args()
 
     import jax
