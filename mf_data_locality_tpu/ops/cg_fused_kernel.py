@@ -58,13 +58,51 @@ from mf_data_locality_tpu.ops.laplace_pallas import (
 )
 
 
+def _prestack(m: jax.Array, precision: str, split_rows=None):
+    """Precision-prestacked matrix operands: (m_fwd, m_bwd, nsplit).
+
+    The split3/split2m/bf16 rungs decompose each MXU product into bf16
+    passes.  Rounding + K-stacking the STATIC matrices inside the kernel
+    repeats that conversion/concat on every grid step for every component
+    (~96 calls/iteration at p=4 — pure VPU/register traffic).  Stacking
+    once OUTSIDE the pallas_call (XLA hoists it as loop-invariant; the
+    benchmark passes host-constant operators anyway) leaves only the
+    per-apply STREAM split in-kernel.
+
+    ``m_fwd``: K-stacked along axis 1 for the forward contraction
+    (pairs with stream parts [bh, bh, bl] for split3 / [bh, bl] for
+    split2m — the exact product set and accumulation order of
+    :func:`laplace_pallas._mm`).  ``m_bwd``: stacked along axis 0 for the
+    transpose contraction (``dims=((0,),(0,))``).  ``split_rows``: row
+    boundaries (e.g. the twostage xy/z split) replicated per K-segment in
+    ``m_bwd`` so the kernel can row-slice each segment.
+    ``nsplit = 0`` means no prestacking (highest/f64 fallback to _mm).
+    """
+    if precision == "bf16":
+        mh = m.astype(jnp.bfloat16)
+        return mh, mh, 1
+    if precision == "split2m":
+        mh = m.astype(jnp.bfloat16)
+        segs = [mh, mh]
+    elif precision == "split3":
+        mh = m.astype(jnp.bfloat16)
+        ml = (m - mh.astype(m.dtype)).astype(jnp.bfloat16)
+        segs = [mh, ml, mh]
+    else:
+        return m, m, 0
+    return (jnp.concatenate(segs, axis=1),
+            jnp.concatenate(segs, axis=0), len(segs))
+
+
 def _factor_setup(op: PallasOperatorData, p: int, q: int, ncz: int, B: int):
-    """Per-factorization kernel operands: (mats, gmetric4d, zmats).
+    """Per-factorization kernel operands:
+    (m_fwd, m_bwd, nsplit, gmetric4d, zmats).
 
     dense: the (3q^3, p1^3) matrices + (6q^3, ncz, 1, B) metric.
     twostage: the (3q^2, p1^2) 2D matrices + (6q^2, ncz, 1, q*B) metric
     (qz in lanes) + the z factors as nested float lists (compile-time
-    scalars for the VPU plane recurrences).
+    scalars for the VPU plane recurrences).  Matrices arrive
+    precision-prestacked (see :func:`_prestack`).
     """
     if op.factor == "twostage":
         if op.mats2d is None:
@@ -74,8 +112,65 @@ def _factor_setup(op: PallasOperatorData, p: int, q: int, ncz: int, B: int):
         Sz, Dz = _z_matrices(p, q)
         zmats = ([[float(x) for x in row] for row in Sz],
                  [[float(x) for x in row] for row in Dz])
-        return op.mats2d, gmetric_twostage(op.gmetric, q, ncz, B), zmats
-    return op.mats, op.gmetric.reshape(6 * q ** 3, ncz, 1, B), None
+        mf, mb, ns = _prestack(op.mats2d, op.precision)
+        return mf, mb, ns, gmetric_twostage(op.gmetric, q, ncz, B), zmats
+    mf, mb, ns = _prestack(op.mats, op.precision)
+    return mf, mb, ns, op.gmetric.reshape(6 * q ** 3, ncz, 1, B), None
+
+
+def _stream_parts(b: jax.Array, nsplit: int):
+    """Per-apply stream split matching :func:`_prestack`'s segment order.
+
+    Returns (b_stacked, n_segments_used) — fewer segments when the stream
+    is already bf16 (the documented degraded combinations)."""
+    bf = jnp.bfloat16
+    if nsplit == 1:
+        return b.astype(bf), 1
+    if b.dtype == bf:
+        # degraded: split2m -> one product; split3 -> mh.b + ml.b
+        if nsplit == 2:
+            return b, 1
+        return jnp.concatenate([b, b], axis=0), 2
+    bh = b.astype(bf)
+    if nsplit == 2:
+        bl = (b - bh.astype(b.dtype)).astype(bf)
+        return jnp.concatenate([bh, bl], axis=0), 2
+    bl = (b - bh.astype(b.dtype)).astype(bf)
+    return jnp.concatenate([bh, bh, bl], axis=0), 3
+
+
+_DN_F = (((1,), (0,)), ((), ()))
+_DN_T = (((0,), (0,)), ((), ()))
+
+
+def _mm_pre(m_f, m_b, nsplit, precision, b, back=False, rows=None):
+    """One logical matmul of the (optionally row-sliced) matrix with the
+    stream ``b``, using prestacked operands when ``nsplit > 0``.
+
+    ``rows=(r0, r1)``: contract only matrix rows r0:r1 (the twostage xy/z
+    split); for the backward form the slice is applied per K-segment of
+    ``m_bwd``.  Falls back to :func:`laplace_pallas._mm` for the
+    highest-precision rung (nsplit == 0).
+    """
+    if nsplit == 0:
+        m = m_f if rows is None else m_f[rows[0]:rows[1]]
+        return _mm(m, b, precision, dims=_DN_T if back else None)
+    k = b.shape[0]
+    b2, used = _stream_parts(b, nsplit)
+    if not back:
+        m = m_f if rows is None else m_f[rows[0]:rows[1]]
+        if used < nsplit:
+            m = m[:, : used * m.shape[1] // nsplit]
+        return jax.lax.dot_general(m, b2, _DN_F,
+                                   preferred_element_type=jnp.float32)
+    # backward: m_bwd is [seg_0; seg_1; ...] along axis 0; row-slice each
+    # used segment, then stack to pair with the stream segments
+    rtot = m_b.shape[0] // nsplit
+    r0, r1 = rows if rows is not None else (0, rtot)
+    segs = [m_b[i * rtot + r0: i * rtot + r1] for i in range(used)]
+    m = segs[0] if used == 1 else jnp.concatenate(segs, axis=0)
+    return jax.lax.dot_general(m, b2, _DN_T,
+                               preferred_element_type=jnp.float32)
 
 
 def to_piece_state(u: jax.Array, p: int) -> jax.Array:
@@ -252,16 +347,18 @@ def _reduce_mm(v: jax.Array, p: int, ncx: int) -> jax.Array:
     return jnp.concatenate(rows, axis=-2)
 
 
-def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
+def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
+                    g6, rep, u4,
                     mask, compact=False, factor="dense", zmats=None,
                     y_split=False):
     """The BP4 operator on one z-cell layer of piece-form values.
 
-    ``factor="dense"``: ``m`` is the (3q^3, p1^3) stacked gradient matrices
-    and ``g6`` the (6q^3, Bc) metric entries of this layer — one MXU
-    contraction pair with K = p1^3.
+    ``factor="dense"``: ``m_f``/``m_b`` are the (3q^3, p1^3) stacked
+    gradient matrices (precision-prestacked, :func:`_prestack`) and ``g6``
+    the (6q^3, Bc) metric entries of this layer — one MXU contraction pair
+    with K = p1^3.
 
-    ``factor="twostage"``: ``m`` is the stacked 2D matrices
+    ``factor="twostage"``: the matrices are the stacked 2D pair
     [Dx2d; Dy2d; S2d] (3q^2, p1^2) and ``g6`` the (6q^2, q*B) two-stage
     metric layout (qz in lanes); ``zmats = (Sz, Dz)`` nested float lists
     (q x p1).  The z direction is contracted on the VPU (unrolled plane
@@ -275,7 +372,6 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
     """
     p1 = p + 1
     B = u4.shape[3]
-    dn_t = (((0,), (0,)), ((), ()))
     if "operator" in ablate:
         # timing ablation: elide the MXU contractions + metric apply while
         # keeping every operand stream and VPU phase (isolates the DMA +
@@ -288,7 +384,7 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
             return _reduce_mm(v, p, ncx)
         return _make_consistent(v, p, ncx, y_split=y_split)
     if factor == "twostage":
-        q2 = m.shape[0] // 3
+        q2 = m_f.shape[0] // 3
         q = round(q2 ** 0.5)
         Sz, Dz = zmats
         ge = [g6[e * q2:(e + 1) * q2] for e in range(6)]  # (q^2, qB) each
@@ -306,15 +402,19 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
                 uD_blocks.append(d)
             uS = jnp.concatenate(uS_blocks, axis=-1)  # (p1^2, qB)
             uD = jnp.concatenate(uD_blocks, axis=-1)
-            gxy = _mm(m[:2 * q2], uS, precision)  # (2q^2, qB)
-            gz = _mm(m[2 * q2:], uD, precision)   # (q^2, qB)
+            gxy = _mm_pre(m_f, m_b, nsplit, precision, uS,
+                          rows=(0, 2 * q2))           # (2q^2, qB)
+            gz = _mm_pre(m_f, m_b, nsplit, precision, uD,
+                         rows=(2 * q2, 3 * q2))       # (q^2, qB)
             gx, gy = gxy[:q2], gxy[q2:]
             t0 = ge[0] * gx + ge[1] * gy + ge[2] * gz
             t1 = ge[1] * gx + ge[3] * gy + ge[4] * gz
             t2 = ge[2] * gx + ge[4] * gy + ge[5] * gz
-            w1 = _mm(m[:2 * q2], jnp.concatenate([t0, t1], axis=0),
-                     precision, dims=dn_t)        # (p1^2, qB)
-            w2 = _mm(m[2 * q2:], t2, precision, dims=dn_t)
+            w1 = _mm_pre(m_f, m_b, nsplit, precision,
+                         jnp.concatenate([t0, t1], axis=0),
+                         back=True, rows=(0, 2 * q2))  # (p1^2, qB)
+            w2 = _mm_pre(m_f, m_b, nsplit, precision, t2,
+                         back=True, rows=(2 * q2, 3 * q2))
             planes = []
             for kz in range(p1):
                 a = (w1[:, :B] * Sz[0][kz] + w2[:, :B] * Dz[0][kz])
@@ -325,8 +425,8 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
             vs.append(jnp.stack(planes, axis=0))  # (p1, p1^2, B)
         v = jnp.stack(vs, axis=0)
     else:
-        p13 = m.shape[1]
-        q3 = m.shape[0] // 3
+        p13 = p1 * p1 * p1
+        q3 = m_f.shape[0] // 3
         u = u4.reshape(n_comp * p13, B)
         g00, g01, g02 = (rep(g6[:q3]), rep(g6[q3:2 * q3]),
                          rep(g6[2 * q3:3 * q3]))
@@ -335,12 +435,13 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
         vs = []
         for c in range(n_comp):
             u_c = u[c * p13:(c + 1) * p13, :]
-            gr = _mm(m, u_c, precision).reshape(3, q3, B)
+            gr = _mm_pre(m_f, m_b, nsplit, precision, u_c).reshape(3, q3, B)
             t0 = g00 * gr[0] + g01 * gr[1] + g02 * gr[2]
             t1 = g01 * gr[0] + g11 * gr[1] + g12 * gr[2]
             t2 = g02 * gr[0] + g12 * gr[1] + g22 * gr[2]
-            vs.append(_mm(m, jnp.concatenate([t0, t1, t2], axis=0),
-                          precision, dims=dn_t))
+            vs.append(_mm_pre(m_f, m_b, nsplit, precision,
+                              jnp.concatenate([t0, t1, t2], axis=0),
+                              back=True))
         v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
     v = v * mask[None]
     if "consistency" in ablate:
@@ -354,8 +455,8 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m, g6, rep, u4,
 
 def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
                      ncz_g, recurrence, compact, factor, zmats, ioff,
-                     ncy_g, y_split,
-                     mats_ref, g6_ref, scal_ref, zoff_ref,
+                     ncy_g, y_split, nsplit,
+                     matsf_ref, matsb_ref, g6_ref, scal_ref, zoff_ref,
                      pm_ref, pp_ref,
                      x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
                      gh_ref, dh_ref, hh_ref, ph_ref,
@@ -421,7 +522,8 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     c1 = scal_ref[2]
     aob = scal_ref[3]
 
-    m = mats_ref[:]
+    m_f = matsf_ref[:]
+    m_b = matsb_ref[:]
     # upcast before reshape/slice: bf16 sublane-collapsing shape casts are
     # expensive (or unsupported) Mosaic relayouts; the metric multiplies
     # into f32 MXU results anyway.  Row/lane counts are layout-generic:
@@ -490,7 +592,7 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         # lane-rolls (zero-cost correctness: see _expand_mm)
         d2f = _expand_mm(d2s, p, ncx) if compact else d2s
         v = _operator_block(precision, n_comp, p, ncx, ablate,
-                            m, g6_all[:, j], rep, d2f, mask,
+                            m_f, m_b, nsplit, g6_all[:, j], rep, d2f, mask,
                             compact=compact, factor=factor, zmats=zmats,
                             y_split=y_split)
         first = v[:, :1] + carry_in
@@ -581,8 +683,8 @@ def scalar_recurrence(s, alpha, beta, parity):
 
 
 def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
-                   compact, factor, zmats,
-                   mats_ref, g6_ref, zoff_ref,
+                   compact, factor, zmats, nsplit,
+                   matsf_ref, matsb_ref, g6_ref, zoff_ref,
                    d_ref, zd_ref, dh_ref,
                    h2_ref, zh2_ref,
                    carry_ref):
@@ -613,7 +715,8 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
     def rep(a):
         return a if n_rep == 1 else jnp.concatenate([a] * n_rep, axis=-1)
 
-    m = mats_ref[:]
+    m_f = matsf_ref[:]
+    m_b = matsb_ref[:]
     g6_all = g6_ref[:].astype(acc).reshape(
         g6_ref.shape[0], L, g6_ref.shape[-1])
 
@@ -632,7 +735,7 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
         if compact:
             d_f = _expand_mm(d_f, p, ncx)
         v = _operator_block(precision, n_comp, p, ncx, ablate,
-                            m, g6_all[:, j], rep, d_f, mask,
+                            m_f, m_b, nsplit, g6_all[:, j], rep, d_f, mask,
                             compact=compact, factor=factor, zmats=zmats)
         first = v[:, :1] + carry_in
         vmain = (first if p == 1
@@ -682,16 +785,18 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
         halo = jnp.zeros((n_comp, 1, Rs, B), store)
 
     q = round(q3 ** (1 / 3))
-    mats_op, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
+    mf_op, mb_op, nsplit, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
 
     outs = pl.pallas_call(
         functools.partial(_matvec_kernel, op.precision, n_comp, p,
                           (ncz, ncy, ncx), acc, (), 1,
                           ncz_global if ncz_global is not None else ncz,
-                          compact, op.factor, zmats),
+                          compact, op.factor, zmats, nsplit),
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(mats_op.shape, lambda i: (0, 0),
+            pl.BlockSpec(mf_op.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(mb_op.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gm_op.shape[0], L, 1, gm_op.shape[3]),
                          lambda i: (0, i, 0, 0),
@@ -720,7 +825,7 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(mats_op, gm_op,
+    )(mf_op, mb_op, gm_op,
       jnp.asarray(z0, jnp.int32).reshape(1), d, zd, halo)
     return outs  # (h, zh)
 
@@ -922,24 +1027,24 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             "y_split requires the non-compact piece state (the duplicated "
             "rows are the y input halo); pass compact=False")
     q = round(q3 ** (1 / 3))
-    mats_op, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
+    mf_op, mb_op, nsplit, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
 
     base = functools.partial(
         _fused_cg_kernel, op.precision, n_comp, p,
         (ncz, ncy, ncx), acc, store, _ablate, n_rep,
         ncz_global if ncz_global is not None else ncz, recurrence, compact,
         op.factor, zmats, i0,
-        ncy_global if ncy_global is not None else ncy, y_split)
+        ncy_global if ncy_global is not None else ncy, y_split, nsplit)
 
-    n_in = 17 if with_x else 16
+    n_in = 18 if with_x else 17
 
     def kern(*refs):
         refs = list(refs)
         # the optional carry0 operand sits after the fixed inputs
         c0_ref = refs.pop(n_in) if carry0 is not None else None
         if not with_x:
-            refs.insert(6, None)    # x_ref slot
-            refs.insert(17, None)   # x2_ref slot (after the 17 inputs)
+            refs.insert(7, None)    # x_ref slot
+            refs.insert(18, None)   # x2_ref slot (after the 18 inputs)
         if want_carry:
             *head, dots_ref, carry_out_ref, carry_ref, dacc_ref = refs
         else:
@@ -957,17 +1062,19 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     # doubly-passed form ADDED 35 us/it of copies).  Safe in-place: the
     # grid sweeps z ascending; each Z[i+1] block is fetched before step
     # i+1 overwrites... (step i reads Z[i+1], step i+1 writes Z'[i+1] only
-    # after its own inputs were fetched).  Operand order: mats, g6, scal,
-    # zoff, pm, pp, [x,] g, zg, d, zd, h, zh, gh, dh, hh, ph.
+    # after its own inputs were fetched).  Operand order: matsf, matsb,
+    # g6, scal, zoff, pm, pp, [x,] g, zg, d, zd, h, zh, gh, dh, hh, ph.
     if with_x:
-        aliases = {6: 0, 7: 1, 8: 4, 9: 2, 10: 5, 11: 3, 12: 6}
+        aliases = {7: 0, 8: 1, 9: 4, 10: 2, 11: 5, 12: 3, 13: 6}
     else:
-        aliases = {6: 0, 7: 3, 8: 1, 9: 4, 10: 2, 11: 5}
+        aliases = {7: 0, 8: 3, 9: 1, 10: 4, 11: 2, 12: 5}
     if not alias:
         aliases = {}
 
     in_specs = [
-        pl.BlockSpec(mats_op.shape, lambda i: (0, 0),
+        pl.BlockSpec(mf_op.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(mb_op.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         # metric (rows, ncz, lanes): lane-dim block equals the array dim
         # (Mosaic divisible-or-full constraint; B < 128 for s < 10).
@@ -985,7 +1092,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         halo_spec(n_comp), halo_spec(n_comp), halo_spec(n_comp),
         halo_spec(1, B),
     ]
-    operands = [mats_op, gm_op, scal,
+    operands = [mf_op, mb_op, gm_op, scal,
                 jnp.stack([jnp.asarray(z0, jnp.int32),
                            jnp.asarray(y0, jnp.int32)]),
                 prec_pieces, prec_pieces,
