@@ -276,7 +276,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--devices", type=int, default=0,
                     help="distribute over N devices (0 = single-device path)")
     ap.add_argument("--precision",
-                    choices=["highest", "split3", "split2m", "bf16"],
+                    choices=["highest", "split3", "split2m", "bf16",
+                             "bf16sr"],
                     default="highest",
                     help="pallas kernel matmul precision strategy "
                          "(with --dtype bf16 the streamed operand is "

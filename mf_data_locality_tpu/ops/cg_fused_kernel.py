@@ -78,7 +78,7 @@ def _prestack(m: jax.Array, precision: str, split_rows=None):
     ``m_bwd`` so the kernel can row-slice each segment.
     ``nsplit = 0`` means no prestacking (highest/f64 fallback to _mm).
     """
-    if precision == "bf16":
+    if precision in ("bf16", "bf16sr"):
         mh = m.astype(jnp.bfloat16)
         return mh, mh, 1
     if precision == "split2m":
@@ -141,6 +141,20 @@ def _stream_parts(b: jax.Array, nsplit: int):
 
 _DN_F = (((1,), (0,)), ((), ()))
 _DN_T = (((0,), (0,)), ((), ()))
+
+
+def _sr_bf16(x):
+    """Stochastically round an f32 stream to bf16 (in-kernel only).
+
+    The ``bf16sr`` rung's stream cast: zero-mean per-apply rounding noise
+    instead of round-to-nearest bias, so the single-pass perturbed
+    operator behaves like an unbiased inexact matvec inside CG.  The PRNG
+    must have been seeded once by the kernel (see ``_fused_cg_kernel``).
+    """
+    if x.dtype == jnp.bfloat16:
+        return x
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+    return pltpu.stochastic_round(x, bits, target_dtype=jnp.bfloat16)
 
 
 def _mm_pre(m_f, m_b, nsplit, precision, b, back=False, rows=None):
@@ -387,6 +401,7 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
         q2 = m_f.shape[0] // 3
         q = round(q2 ** 0.5)
         Sz, Dz = zmats
+        sr2 = precision == "bf16sr"
         ge = [g6[e * q2:(e + 1) * q2] for e in range(6)]  # (q^2, qB) each
         vs = []
         for c in range(n_comp):
@@ -402,6 +417,8 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
                 uD_blocks.append(d)
             uS = jnp.concatenate(uS_blocks, axis=-1)  # (p1^2, qB)
             uD = jnp.concatenate(uD_blocks, axis=-1)
+            if sr2:
+                uS, uD = _sr_bf16(uS), _sr_bf16(uD)
             gxy = _mm_pre(m_f, m_b, nsplit, precision, uS,
                           rows=(0, 2 * q2))           # (2q^2, qB)
             gz = _mm_pre(m_f, m_b, nsplit, precision, uD,
@@ -410,8 +427,10 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
             t0 = ge[0] * gx + ge[1] * gy + ge[2] * gz
             t1 = ge[1] * gx + ge[3] * gy + ge[4] * gz
             t2 = ge[2] * gx + ge[4] * gy + ge[5] * gz
-            w1 = _mm_pre(m_f, m_b, nsplit, precision,
-                         jnp.concatenate([t0, t1], axis=0),
+            t01 = jnp.concatenate([t0, t1], axis=0)
+            if sr2:
+                t01, t2 = _sr_bf16(t01), _sr_bf16(t2)
+            w1 = _mm_pre(m_f, m_b, nsplit, precision, t01,
                          back=True, rows=(0, 2 * q2))  # (p1^2, qB)
             w2 = _mm_pre(m_f, m_b, nsplit, precision, t2,
                          back=True, rows=(2 * q2, 3 * q2))
@@ -432,16 +451,48 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
                          rep(g6[2 * q3:3 * q3]))
         g11, g12, g22 = (rep(g6[3 * q3:4 * q3]), rep(g6[4 * q3:5 * q3]),
                          rep(g6[5 * q3:]))
+        # timing-ablation variants (wrong values, identical operand
+        # streams): "metric" elides the 9-FMA metric contraction;
+        # "split1"/"fsplit1"/"bsplit1" pre-round the fwd/bwd stream to
+        # bf16 so _stream_parts degrades to a single MXU pass (isolating
+        # the hi/lo-split VPU work + the extra pass); "fwd"/"bwd" elide
+        # one MXU contraction.  (Batch-7 dead ends, removed: "fusesplit"
+        # hi/lo rounding at the metric outputs — 2x SLOWER, bf16 (q^3, B)
+        # intermediates are sublane-misaligned relayouts; "reorder"
+        # stage-major instruction order — neutral, Mosaic's scheduler is
+        # order-insensitive; "metricbf16" all-bf16 metric arithmetic —
+        # 2.3x slower, the VPU has no bf16 rate advantage and pays
+        # conversion relayouts.  tools/R3_BATCH7.txt.)
+        f1 = "split1" in ablate or "fsplit1" in ablate
+        b1 = "split1" in ablate or "bsplit1" in ablate
+        bf = jnp.bfloat16
+        sr = precision == "bf16sr"
         vs = []
         for c in range(n_comp):
             u_c = u[c * p13:(c + 1) * p13, :]
-            gr = _mm_pre(m_f, m_b, nsplit, precision, u_c).reshape(3, q3, B)
-            t0 = g00 * gr[0] + g01 * gr[1] + g02 * gr[2]
-            t1 = g01 * gr[0] + g11 * gr[1] + g12 * gr[2]
-            t2 = g02 * gr[0] + g12 * gr[1] + g22 * gr[2]
-            vs.append(_mm_pre(m_f, m_b, nsplit, precision,
-                              jnp.concatenate([t0, t1, t2], axis=0),
-                              back=True))
+            if "fwd" in ablate:
+                gr = jnp.broadcast_to(u_c[:1, :], (3, q3, B)) + 0.0
+            else:
+                uf = u_c.astype(bf) if f1 else (
+                    _sr_bf16(u_c) if sr else u_c)
+                gr = _mm_pre(m_f, m_b, nsplit, precision,
+                             uf).reshape(3, q3, B)
+            if "metric" in ablate:
+                t0 = gr[0] + g00[0, 0]
+                t1, t2 = gr[1], gr[2]
+            else:
+                t0 = g00 * gr[0] + g01 * gr[1] + g02 * gr[2]
+                t1 = g01 * gr[0] + g11 * gr[1] + g12 * gr[2]
+                t2 = g02 * gr[0] + g12 * gr[1] + g22 * gr[2]
+            if "bwd" in ablate:
+                vs.append(t0[:p13, :] + 0.0)
+                continue
+            tb = jnp.concatenate([t0, t1, t2], axis=0)
+            if b1:
+                tb = tb.astype(bf)
+            elif sr:
+                tb = _sr_bf16(tb)
+            vs.append(_mm_pre(m_f, m_b, nsplit, precision, tb, back=True))
         v = jnp.stack(vs, axis=0).reshape(n_comp, p1, p1 * p1, B)
     v = v * mask[None]
     if "consistency" in ablate:
@@ -521,6 +572,13 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     beta = scal_ref[1]
     c1 = scal_ref[2]
     aob = scal_ref[3]
+    if precision == "bf16sr":
+        # one seed per (iteration, grid step): the solver threads its
+        # iteration counter through zoff_ref[2] (SMEM scalar), so the
+        # stream-rounding noise decorrelates across iterations; the FULL
+        # sweep step index i (not prog: split-grid overlap calls restart
+        # prog at 0) decorrelates across grid steps
+        pltpu.prng_seed(zoff_ref[2], i)
 
     m_f = matsf_ref[:]
     m_b = matsb_ref[:]
@@ -719,6 +777,9 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
     m_b = matsb_ref[:]
     g6_all = g6_ref[:].astype(acc).reshape(
         g6_ref.shape[0], L, g6_ref.shape[-1])
+    if precision == "bf16sr":
+        # standalone-apply seed: per grid step only (no iteration state)
+        pltpu.prng_seed(i)
 
     carry_in = jnp.where(i > 0, carry_ref[:], 0.0)[:, None]
     for j in range(L):
@@ -786,9 +847,13 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
 
     q = round(q3 ** (1 / 3))
     mf_op, mb_op, nsplit, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
+    # the Pallas interpreter has no prng_seed/stochastic_round lowering:
+    # bf16sr degrades to round-to-nearest there (same bf16 stream class)
+    prec = "bf16" if (interpret and op.precision == "bf16sr") \
+        else op.precision
 
     outs = pl.pallas_call(
-        functools.partial(_matvec_kernel, op.precision, n_comp, p,
+        functools.partial(_matvec_kernel, prec, n_comp, p,
                           (ncz, ncy, ncx), acc, (), 1,
                           ncz_global if ncz_global is not None else ncz,
                           compact, op.factor, zmats, nsplit),
@@ -873,6 +938,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        step_range: tuple[int, int] | None = None,
                        carry0: jax.Array | None = None,
                        with_x: bool = True,
+                       seed=0,
                        _ablate: tuple = ()):
     """Run one fused CG iteration;
     returns (x', g', d', h', zg', zd', zh', scal'[, carry]).
@@ -1028,9 +1094,13 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             "rows are the y input halo); pass compact=False")
     q = round(q3 ** (1 / 3))
     mf_op, mb_op, nsplit, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
+    # the Pallas interpreter has no prng_seed/stochastic_round lowering:
+    # bf16sr degrades to round-to-nearest there (same bf16 stream class)
+    prec = "bf16" if (interpret and op.precision == "bf16sr") \
+        else op.precision
 
     base = functools.partial(
-        _fused_cg_kernel, op.precision, n_comp, p,
+        _fused_cg_kernel, prec, n_comp, p,
         (ncz, ncy, ncx), acc, store, _ablate, n_rep,
         ncz_global if ncz_global is not None else ncz, recurrence, compact,
         op.factor, zmats, i0,
@@ -1093,8 +1163,11 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         halo_spec(1, B),
     ]
     operands = [mf_op, mb_op, gm_op, scal,
+                # [2]: per-iteration PRNG seed for the bf16sr stream
+                # rounding (the solver threads its iteration counter here)
                 jnp.stack([jnp.asarray(z0, jnp.int32),
-                           jnp.asarray(y0, jnp.int32)]),
+                           jnp.asarray(y0, jnp.int32),
+                           jnp.asarray(seed).astype(jnp.int32)]),
                 prec_pieces, prec_pieces,
                 *([x] if with_x else []), g, zg, d, zd, h, zh,
                 g_h, d_h, h_h, p_h]

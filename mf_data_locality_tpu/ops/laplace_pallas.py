@@ -435,7 +435,10 @@ def _mm(a, b, precision, dims=None):
         a2 = jnp.concatenate([ah, ah], axis=ka)
         b2 = jnp.concatenate([bh, bl], axis=kb)
         return jax.lax.dot_general(a2, b2, dn, preferred_element_type=f32)
-    if precision == "bf16":
+    if precision in ("bf16", "bf16sr"):
+        # "bf16sr" (stochastically rounded streams) exists only inside the
+        # fused Pallas kernels (cg_fused_kernel._sr_bf16); at XLA level and
+        # in interpret mode it degrades to this round-to-nearest form
         return jax.lax.dot_general(
             a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dn,
             preferred_element_type=f32)

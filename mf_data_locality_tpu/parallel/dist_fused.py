@@ -183,12 +183,12 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
             x, g, d, h, zg, zd, zh, s_i, carry_i = fk.fused_cg_iteration(
                 op, slab_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
                 interpret=interpret, n_rep=n_rep, halo=None,
-                z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True,
+                z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True, seed=it,
                 compact=compact, step_range=(0, ncz_loc - 1))
             x, g, d, h, zg, zd, zh, s_b, carry = fk.fused_cg_iteration(
                 op, slab_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
                 interpret=interpret, n_rep=n_rep, halo=halo,
-                z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True,
+                z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True, seed=it,
                 compact=compact, step_range=(ncz_loc - 1, ncz_loc),
                 carry0=carry_i)
             s = s_i + s_b
@@ -196,7 +196,7 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
             x, g, d, h, zg, zd, zh, s, carry = fk.fused_cg_iteration(
                 op, slab_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
                 interpret=interpret, n_rep=n_rep, halo=halo,
-                z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True,
+                z0=z0, ncz_global=ncz_g, recurrence=False, want_carry=True, seed=it,
                 compact=compact)
         # z-carry add-back (the compress ppermute) + exact dot corrections:
         # only the five h-dependent sums change, by single-plane deltas
@@ -370,7 +370,7 @@ def _solve_local_2d(op, inv_diag, b, mesh_shape, ncz_g, ncy_g,
             interpret=interpret, halo=halo,
             z0=z0, ncz_global=ncz_g, y0=y0, ncy_global=ncy_g,
             y_split=y_split, recurrence=False, want_carry=True,
-            compact=False)
+            seed=it, compact=False)
 
         # -- z-carry add-back + exact dot corrections (as the 1D path) ----
         carry_in = (jnp.zeros_like(carry) if Dz == 1

@@ -124,12 +124,12 @@ def fused_merged_cg_solve(
         it, res = state[8], state[9]
         return (res > tol) & (it < max_iter)
 
-    def iterate(x, g, d, h, zg, zd, zh, scal, with_x=True):
+    def iterate(x, g, d, h, zg, zd, zh, scal, with_x=True, seed=0):
         return fk.fused_cg_iteration(
             op, n_nodes_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
             interpret=interpret, n_rep=n_rep, alias=alias,
             layers_per_step=layers_per_step, compact=compact,
-            with_x=with_x)
+            with_x=with_x, seed=seed)
 
     def body(state):
         x, g, d, h, zg, zd, zh, scal, it, _, hist = state
@@ -142,19 +142,20 @@ def fused_merged_cg_solve(
             pay = (scal[2] != 0) | (scal[3] != 0)
 
             def pay_fn(args):
-                return iterate(*args)
+                return iterate(*args[:-1], seed=args[-1])
 
             def skip_fn(args):
-                x_, g_, d_, h_, zg_, zd_, zh_, scal_ = args
+                x_, g_, d_, h_, zg_, zd_, zh_, scal_, it_ = args
                 g_, d_, h_, zg_, zd_, zh_, scal_ = iterate(
-                    x_, g_, d_, h_, zg_, zd_, zh_, scal_, with_x=False)
+                    x_, g_, d_, h_, zg_, zd_, zh_, scal_, with_x=False,
+                    seed=it_)
                 return x_, g_, d_, h_, zg_, zd_, zh_, scal_
 
             x, g, d, h, zg, zd, zh, scal = jax.lax.cond(
-                pay, pay_fn, skip_fn, (x, g, d, h, zg, zd, zh, scal))
+                pay, pay_fn, skip_fn, (x, g, d, h, zg, zd, zh, scal, it))
         else:
             x, g, d, h, zg, zd, zh, scal = iterate(x, g, d, h, zg, zd, zh,
-                                                   scal)
+                                                   scal, seed=it)
         res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
         return (x, g, d, h, zg, zd, zh, scal, it, res, hist.at[it].set(res))
 

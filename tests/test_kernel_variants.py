@@ -109,6 +109,30 @@ def test_precision_bf16_is_bf16_class():
     assert 1e-5 < rel < 3e-2, rel
 
 
+def test_precision_bf16sr_solves():
+    """bf16sr (stochastically rounded single-pass streams, f32 state):
+    converges near the f32 count.  On CPU the Pallas interpreter has no
+    prng lowering, so the rung degrades to round-to-nearest (documented);
+    this validates the plumbing + the bf16-class convergence envelope —
+    the SR-vs-RTN iteration comparison is on-chip evidence
+    (tools/R3_BATCH8.txt)."""
+    from mf_data_locality_tpu.solvers import cg_fused
+
+    pf = bp4.build(s=5, degree=2, dtype=jnp.float32, backend="pallas",
+                   precision="split2m", windowing="pieces")
+    lat = pf.layout.n_nodes_axis
+    rf = cg_fused.fused_merged_cg_solve(
+        pf.op, lat, pf.b.reshape((3,) + lat),
+        pf.inv_diag.reshape((1,) + lat))
+    ps = bp4.build(s=5, degree=2, dtype=jnp.float32, backend="pallas",
+                   precision="bf16sr", windowing="pieces")
+    rs = cg_fused.fused_merged_cg_solve(
+        ps.op, lat, ps.b.reshape((3,) + lat),
+        ps.inv_diag.reshape((1,) + lat))
+    assert bool(rf.converged) and bool(rs.converged)
+    assert abs(int(rs.n_iterations) - int(rf.n_iterations)) <= 5
+
+
 def test_bf16_storage_iteration_parity():
     """bf16 d/h storage: converges with itCG within a few of f32
     (VERDICT round-1 item 5 done-criterion)."""
