@@ -150,6 +150,12 @@ def _sr_bf16(x):
     instead of round-to-nearest bias, so the single-pass perturbed
     operator behaves like an unbiased inexact matvec inside CG.  The PRNG
     must have been seeded once by the kernel (see ``_fused_cg_kernel``).
+
+    Measured on-chip (tools/R3_BATCH8.txt): SR is speed-identical to RTN
+    (~226 us/it at p=4 s=13) and convergence-identical too — the 1e-5
+    attainable-residual stall of single-pass bf16 streams is set by the
+    4e-3 noise AMPLITUDE, not its bias.  Kept as a documented variant;
+    the production f32-class rung remains split2m.
     """
     if x.dtype == jnp.bfloat16:
         return x
