@@ -277,7 +277,8 @@ def _consistency_rows(p: int):
 
 
 def _make_consistent(v: jax.Array, p: int, ncx: int,
-                     y_split: bool = False) -> jax.Array:
+                     y_split: bool = False,
+                     x_split: bool = False) -> jax.Array:
     """Sum duplicate piece copies of shared y/x nodes and redistribute.
 
     v: (C, P1z, R, B) masked partial output.  The kx = p copy of cell
@@ -297,6 +298,13 @@ def _make_consistent(v: jax.Array, p: int, ncx: int,
     import is masked off) and the first cell row's y0 copies keep their own
     partial (instead of the wrapped redistribute) — the fused-path analog
     of the ghost-face compress in ``MatrixFree::cell_loop``.
+
+    ``x_split``: the block is additionally an x-slab (3D decomposition),
+    so the x-phase roll's row-crossing lanes (lane % ncx == ncx-1 / == 0,
+    which for a full box pair masked global-face copies) now sit at
+    DEVICE x-boundaries: last-column xp copies and first-column x0 copies
+    keep their local partials, completed by the solver's strided
+    lane-slice ppermutes (``dist_fused._solve_local_3d``).
     """
     R = v.shape[2]
     B = v.shape[3]
@@ -310,11 +318,17 @@ def _make_consistent(v: jax.Array, p: int, ncx: int,
         if y_split and dist == ncx:
             lan = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 3)
             rolled = jnp.where(lan >= B - ncx, 0.0, rolled)
+        if x_split and dist == 1:
+            lan = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 3)
+            rolled = jnp.where(lan % ncx == ncx - 1, 0.0, rolled)
         s = rp + rolled
         s0 = jnp.roll(s, dist, axis=3)
         if y_split and dist == ncx:
             lan0 = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 3)
             s0 = jnp.where(lan0 < ncx, r0, s0)
+        if x_split and dist == 1:
+            lan0 = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 3)
+            s0 = jnp.where(lan0 % ncx == 0, r0, s0)
         for k, r in enumerate(srcp):
             rows[r] = s[:, :, k:k + 1, :]
         for k, r in enumerate(src0):
@@ -370,7 +384,7 @@ def _reduce_mm(v: jax.Array, p: int, ncx: int) -> jax.Array:
 def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
                     g6, rep, u4,
                     mask, compact=False, factor="dense", zmats=None,
-                    y_split=False):
+                    y_split=False, x_split=False):
     """The BP4 operator on one z-cell layer of piece-form values.
 
     ``factor="dense"``: ``m_f``/``m_b`` are the (3q^3, p1^3) stacked
@@ -402,7 +416,8 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
             return v[..., :p * p, :] if compact else v
         if compact:
             return _reduce_mm(v, p, ncx)
-        return _make_consistent(v, p, ncx, y_split=y_split)
+        return _make_consistent(v, p, ncx, y_split=y_split,
+                                x_split=x_split)
     if factor == "twostage":
         q2 = m_f.shape[0] // 3
         q = round(q2 ** 0.5)
@@ -507,12 +522,13 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
         return v[..., :p * p, :] if compact else v
     if compact:
         return _reduce_mm(v, p, ncx)  # (C, p1, p^2, B) consistent mm rows
-    return _make_consistent(v, p, ncx, y_split=y_split)
+    return _make_consistent(v, p, ncx, y_split=y_split,
+                            x_split=x_split)
 
 
 def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
                      ncz_g, recurrence, compact, factor, zmats, ioff,
-                     ncy_g, y_split, nsplit,
+                     ncy_g, y_split, ncx_g, x_split, nsplit,
                      matsf_ref, matsb_ref, g6_ref, scal_ref, zoff_ref,
                      pm_ref, pp_ref,
                      x_ref, g_ref, gp_ref, d_ref, dp_ref, h_ref, hp_ref,
@@ -557,6 +573,7 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     ncz, ncy, ncx = dims
     z0 = zoff_ref[0]
     y0 = zoff_ref[1]
+    x0c = zoff_ref[3]
     p1 = p + 1
     p2 = p * p
     B = g_ref.shape[3]
@@ -606,7 +623,8 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
 
         mask = rep(_dirichlet_mask_pieces(p, dims, Bc, l_, z0=z0,
                                           ncz_global=ncz_g, y0=y0,
-                                          ncy_global=ncy_g)).astype(acc)
+                                          ncy_global=ncy_g, x0c=x0c,
+                                          ncx_global=ncx_g)).astype(acc)
         if "mask" in ablate:
             mask = jnp.ones_like(mask)
 
@@ -658,7 +676,7 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         v = _operator_block(precision, n_comp, p, ncx, ablate,
                             m_f, m_b, nsplit, g6_all[:, j], rep, d2f, mask,
                             compact=compact, factor=factor, zmats=zmats,
-                            y_split=y_split)
+                            y_split=y_split, x_split=x_split)
         first = v[:, :1] + carry_in
         vmain = (first if p == 1
                  else jnp.concatenate([first, v[:, 1:p]], axis=1))
@@ -936,6 +954,9 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
                        y0=0,
                        ncy_global: int | None = None,
                        y_split: bool = False,
+                       x0=0,
+                       ncx_global: int | None = None,
+                       x_split: bool = False,
                        recurrence: bool = True,
                        want_carry: bool = False,
                        alias: bool = True,
@@ -1094,10 +1115,10 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
 
     if op.factor == "twostage" and n_rep != 1:
         raise ValueError("factor='twostage' does not support lane folding")
-    if y_split and compact:
+    if (y_split or x_split) and compact:
         raise ValueError(
-            "y_split requires the non-compact piece state (the duplicated "
-            "rows are the y input halo); pass compact=False")
+            "y_split/x_split require the non-compact piece state (the "
+            "duplicated rows are the y/x input halo); pass compact=False")
     q = round(q3 ** (1 / 3))
     mf_op, mb_op, nsplit, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
     # the Pallas interpreter has no prng_seed/stochastic_round lowering:
@@ -1110,7 +1131,8 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         (ncz, ncy, ncx), acc, store, _ablate, n_rep,
         ncz_global if ncz_global is not None else ncz, recurrence, compact,
         op.factor, zmats, i0,
-        ncy_global if ncy_global is not None else ncy, y_split, nsplit)
+        ncy_global if ncy_global is not None else ncy, y_split,
+        ncx_global if ncx_global is not None else ncx, x_split, nsplit)
 
     n_in = 18 if with_x else 17
 
@@ -1170,10 +1192,12 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     ]
     operands = [mf_op, mb_op, gm_op, scal,
                 # [2]: per-iteration PRNG seed for the bf16sr stream
-                # rounding (the solver threads its iteration counter here)
+                # rounding (the solver threads its iteration counter
+                # here); [3]: x cell-column offset (3D decomposition)
                 jnp.stack([jnp.asarray(z0, jnp.int32),
                            jnp.asarray(y0, jnp.int32),
-                           jnp.asarray(seed).astype(jnp.int32)]),
+                           jnp.asarray(seed).astype(jnp.int32),
+                           jnp.asarray(x0, jnp.int32)]),
                 prec_pieces, prec_pieces,
                 *([x] if with_x else []), g, zg, d, zd, h, zh,
                 g_h, d_h, h_h, p_h]

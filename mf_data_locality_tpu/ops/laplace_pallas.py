@@ -765,7 +765,8 @@ def _from_piece_forms(vm, vtop, p: int, n_nodes_axis) -> jax.Array:
 
 def _dirichlet_mask_pieces(p: int, dims, B: int, i, z0: int = 0,
                            ncz_global: int | None = None,
-                           y0=0, ncy_global: int | None = None):
+                           y0=0, ncy_global: int | None = None,
+                           x0c=0, ncx_global: int | None = None):
     """Full-box Dirichlet mask in piece-row order, from iota (no HBM).
 
     Rows are the concatenated piece rows (p^2 mm, p mp, p pm, 1 pp) with the
@@ -780,13 +781,16 @@ def _dirichlet_mask_pieces(p: int, dims, B: int, i, z0: int = 0,
     at GLOBAL layers 0 / ncz_global-1, and slab layers past the global top
     (dummy padding for non-divisible device counts) are masked entirely.
     2D (z, y) decomposition adds the same pair for the y cell rows:
-    ``y0`` / ``ncy_global``.
+    ``y0`` / ``ncy_global``; 3D adds ``x0c`` / ``ncx_global`` for the x
+    cell columns.
     """
     ncz, ncy, ncx = dims
     if ncz_global is None:
         ncz_global = ncz
     if ncy_global is None:
         ncy_global = ncy
+    if ncx_global is None:
+        ncx_global = ncx
     p1 = p + 1
     p2 = p * p
     rows = p1 * p1
@@ -801,7 +805,9 @@ def _dirichlet_mask_pieces(p: int, dims, B: int, i, z0: int = 0,
     gcy = y0 + cy  # global y-cell-row index
     ybad = (((gcy == 0) & (ky == 0)) | ((gcy == ncy_global - 1) & (ky == p))
             | (gcy >= ncy_global))
-    xbad = ((cx == 0) & (kx == 0)) | ((cx == ncx - 1) & (kx == p))
+    gcx = x0c + cx  # global x-cell-column index
+    xbad = (((gcx == 0) & (kx == 0)) | ((gcx == ncx_global - 1) & (kx == p))
+            | (gcx >= ncx_global))
     kz = jax.lax.broadcasted_iota(jnp.int32, (p1, 1), 0)
     gz = z0 + i  # global z-cell-layer index
     zbad = (((gz == 0) & (kz == 0)) | ((gz == ncz_global - 1) & (kz == p))

@@ -40,6 +40,7 @@ from mf_data_locality_tpu.solvers.cg import SolveResult
 
 AXIS = dist.AXIS
 AXIS_Y = dist.AXIS_Y
+AXIS_X = dist.AXIS_X
 
 
 def build_dist_fused(s: int, degree: int, n_devices: int | None = None,
@@ -441,3 +442,236 @@ def _solve_local_2d(op, inv_diag, b, mesh_shape, ncz_g, ncy_g,
            else jax.lax.ppermute(x_lat[:, :1], AXIS, down_z))
     x_lat = jnp.concatenate([x_lat[:, :-1], top], axis=1)
     return (x_lat[None, None], it, res, history, res <= tol)
+
+
+# ---------------------------------------------------------------------------
+# 3D (z, y, x) decomposition — the fused solver over a full 3D device mesh
+# (reference: p4est partitions the whole domain, benchmark.h:79; the merged
+# solver's solve_3d has the lattice-slab analog).  z stays the kernel's
+# sweep/carry axis; y splits lane ROW blocks (as the 2D path); x splits
+# WITHIN each lane row: the kernel keeps x-boundary-copy partials
+# (cg_fused_kernel._make_consistent x_split) and two STRIDED lane-slice
+# ppermutes complete them after the kernel.  Completion order per iteration
+# is z-carry, then x, then y — each exchange operates on the previous one's
+# completed values, so 2-device edge and 4-/8-device corner node sums
+# compose exactly by linearity (the fused-path analog of dimension-split
+# halo exchanges).  Communication per iteration: one z-halo ppermute, one
+# z-carry ppermute, two x lane-slice ppermutes, two y lane-slice ppermutes,
+# and ONE 7-scalar psum over all three mesh axes.
+# ---------------------------------------------------------------------------
+
+
+def build_dist_fused_3d(s: int, degree: int,
+                        mesh_shape: tuple[int, int, int],
+                        dtype=jnp.float32, precision: str = "highest",
+                        devices=None, box=None):
+    """Build the 3D (z, y, x) problem for the fused solver."""
+    return dist.build_distributed_3d(
+        s, degree, mesh_shape, dtype=dtype, backend="pallas",
+        precision=precision, windowing="pieces", devices=devices, box=box)
+
+
+def solve_fused_3d(dp: dist.DistributedBP4_3D, mesh: Mesh,
+                   max_iter: int = 100, abs_tol: float = 1e-15,
+                   rel_tol: float = 1e-8,
+                   interpret: bool | None = None) -> SolveResult:
+    """Distributed fused-kernel merged-CG solve over a 3D device mesh."""
+    ncz_g, ncy_g, ncx_g = dp.nc_global
+
+    def body(op_stack, inv_diag, b):
+        op = jax.tree.map(lambda x_: x_[0, 0, 0], op_stack)
+        out = _solve_local_3d(op, inv_diag[0, 0, 0], b[0, 0, 0],
+                              dp.mesh_shape, ncz_g, ncy_g, ncx_g,
+                              max_iter=max_iter, abs_tol=abs_tol,
+                              rel_tol=rel_tol, interpret=interpret)
+        return out
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(AXIS, AXIS_Y, AXIS_X),) * 3,
+                       out_specs=(P(AXIS, AXIS_Y, AXIS_X),
+                                  P(), P(), P(), P()),
+                       check_vma=False)
+    x, it, res_norm, hist, conv = jax.jit(fn)(dp.op_stack, dp.inv_diag, dp.b)
+    return SolveResult(x, it, res_norm, hist, conv)
+
+
+def _solve_local_3d(op, inv_diag, b, mesh_shape, ncz_g, ncy_g, ncx_g,
+                    max_iter, abs_tol, rel_tol, interpret):
+    """Per-device 3D solve body (inside shard_map).
+
+    ``inv_diag``: (1, Pz+1, Py+1, Px+1); ``b``: (C, Pz+1, Py+1, Px+1) with
+    replicated shared z/y/x planes.  Global cell counts ``nc*_g`` mark the
+    Dirichlet faces and mask dummy padding cells.
+    """
+    Dz, Dy, Dx = mesh_shape
+    p1 = round(op.mats.shape[1] ** (1 / 3))
+    p = p1 - 1
+    p2 = p * p
+    slab_axis = b.shape[1:]
+    ncz_loc = (slab_axis[0] - 1) // p
+    ncy_loc = (slab_axis[1] - 1) // p
+    ncx = (slab_axis[2] - 1) // p  # LOCAL x cell count (lane row width)
+    B = ncy_loc * ncx
+    dtype = b.dtype
+    acc = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    y_split = Dy > 1
+    x_split = Dx > 1
+
+    zi = jax.lax.axis_index(AXIS) if Dz > 1 else 0
+    yi = jax.lax.axis_index(AXIS_Y) if Dy > 1 else 0
+    xi = jax.lax.axis_index(AXIS_X) if Dx > 1 else 0
+    z0 = zi * ncz_loc
+    y0 = yi * ncy_loc
+    x0 = xi * ncx
+
+    down_z = [(d, d - 1) for d in range(1, Dz)]
+    up_z = [(d, d + 1) for d in range(Dz - 1)]
+    down_y = [(d, d - 1) for d in range(1, Dy)]
+    up_y = [(d, d + 1) for d in range(Dy - 1)]
+    down_x = [(d, d - 1) for d in range(1, Dx)]
+    up_x = [(d, d + 1) for d in range(Dx - 1)]
+
+    def recv_next_z(a):
+        if Dz == 1:
+            return jnp.zeros_like(a[:, :1])
+        return jax.lax.ppermute(a[:, :1], AXIS, down_z)
+
+    prec_pieces = fk.to_piece_state(inv_diag[:1].astype(acc), p)
+    g0 = fk.to_piece_state(-b.astype(acc), p)
+    p_h = recv_next_z(prec_pieces)
+
+    res0 = jnp.sqrt(jax.lax.psum(
+        jnp.sum(g0[:, :, :p2].astype(acc) ** 2), (AXIS, AXIS_Y, AXIS_X)))
+    tol = jnp.maximum(jnp.asarray(abs_tol, acc), rel_tol * res0)
+    history = jnp.full((max_iter + 1,), jnp.nan, dtype=acc).at[0].set(res0)
+
+    x_st = jnp.zeros_like(g0)
+    d_st = jnp.zeros(g0.shape, dtype)
+    h_st = jnp.zeros(g0.shape, dtype)
+    zg0 = fk.zplanes_init(g0, p)
+    zd0 = jnp.zeros(zg0.shape, dtype)
+    zh0 = jnp.zeros(zg0.shape, dtype)
+
+    P0 = prec_pieces[:, :1, :p2]
+    # y boundary-copy row sets (as the 2D path)
+    y0_rows = jnp.asarray(list(range(p)) + [p2], jnp.int32)
+    yp_rows = jnp.asarray([p2 + p + kx for kx in range(p)] + [p2 + 2 * p],
+                          jnp.int32)
+    # x boundary-copy row sets (cg_fused_kernel._consistency_rows x phase):
+    # x0 = first-column copies (mm kx=0 rows + the pm kx=0 row), lanes
+    # cx == 0 (stride ncx); xp = last-column copies (mp rows + pp), lanes
+    # cx == ncx-1.  Row k of each set holds a copy of the same boundary
+    # node (ky = k), so the ppermuted partials pair positionally.
+    x0_rows = jnp.asarray([ky * p for ky in range(p)] + [p2 + p], jnp.int32)
+    xp_rows = jnp.asarray([p2 + ky for ky in range(p)] + [p2 + 2 * p],
+                          jnp.int32)
+
+    def cond(state):
+        it, res = state[8], state[9]
+        return (res > tol) & (it < max_iter)
+
+    def body(state):
+        x, g, d, h, zg, zd, zh, scal, it, _, hist = state
+        it = it + 1
+        halo = (recv_next_z(g), recv_next_z(d), recv_next_z(h), p_h)
+        x, g, d, h, zg, zd, zh, s, carry = fk.fused_cg_iteration(
+            op, slab_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
+            interpret=interpret, halo=halo,
+            z0=z0, ncz_global=ncz_g, y0=y0, ncy_global=ncy_g,
+            y_split=y_split, x0=x0, ncx_global=ncx_g, x_split=x_split,
+            recurrence=False, want_carry=True, seed=it, compact=False)
+
+        # -- z-carry add-back + exact dot corrections (as the 1D path) ----
+        carry_in = (jnp.zeros_like(carry) if Dz == 1
+                    else jax.lax.ppermute(carry, AXIS, up_z))
+        h0_old = h[:, :1].astype(acc)
+        h0_new = (h0_old + carry_in).astype(dtype)
+        h = jnp.concatenate([h0_new, h[:, 1:]], axis=1)
+        delta = h0_new.astype(acc)[:, :, :p2] - h0_old[:, :, :p2]
+        hsum = h0_new.astype(acc)[:, :, :p2] + h0_old[:, :, :p2]
+        dm0 = d[:, :1, :p2].astype(acc)
+        gm0 = g[:, :1, :p2]
+        s = s.at[0].add(jnp.sum(dm0 * delta))
+        s = s.at[1].add(jnp.sum(hsum * delta))
+        s = s.at[2].add(jnp.sum(gm0 * delta))
+        s = s.at[4].add(jnp.sum(gm0 * (P0 * delta)))
+        s = s.at[5].add(jnp.sum(P0 * hsum * delta))
+
+        # -- x boundary-copy completion (two strided lane-slice ppermutes,
+        #    BEFORE y so the y exchange sends x-complete values) ----------
+        if x_split:
+            send_left = h[:, :, x0_rows, 0::ncx]        # own x0 partials
+            send_right = h[:, :, xp_rows, ncx - 1::ncx]  # own xp partials
+            recv_right = jax.lax.ppermute(send_left, AXIS_X, down_x)
+            recv_left = jax.lax.ppermute(send_right, AXIS_X, up_x)
+            # complete the xp copies (mp/pp rows — not owner rows, no dot
+            # impact)
+            updp = (h[:, :, xp_rows, ncx - 1::ncx].astype(acc)
+                    + recv_right.astype(acc)).astype(dtype)
+            h = h.at[:, :, xp_rows, ncx - 1::ncx].set(updp)
+            zh = zh.at[:, :, xp_rows, ncx - 1::ncx].set(updp[:, ::p])
+            # complete the x0 copies; rows ky*p are owner (mm) rows whose
+            # kernel dots used partials -> exact delta corrections
+            old0 = h[:, :, x0_rows, 0::ncx].astype(acc)
+            upd0 = (old0 + recv_left.astype(acc)).astype(dtype)
+            h = h.at[:, :, x0_rows, 0::ncx].set(upd0)
+            zh = zh.at[:, :, x0_rows, 0::ncx].set(upd0[:, ::p])
+            delta_x = upd0.astype(acc)[:, :, :p] - old0[:, :, :p]
+            hsum_x = upd0.astype(acc)[:, :, :p] + old0[:, :, :p]
+            mm_x0 = x0_rows[:p]
+            dmx = d[:, :, mm_x0, 0::ncx].astype(acc)
+            gmx = g[:, :, mm_x0, 0::ncx]
+            Pmx = prec_pieces[:, :, mm_x0, 0::ncx]
+            s = s.at[0].add(jnp.sum(dmx * delta_x))
+            s = s.at[1].add(jnp.sum(hsum_x * delta_x))
+            s = s.at[2].add(jnp.sum(gmx * delta_x))
+            s = s.at[4].add(jnp.sum(gmx * (Pmx * delta_x)))
+            s = s.at[5].add(jnp.sum(Pmx * hsum_x * delta_x))
+
+        # -- y boundary-copy completion (as the 2D path) ------------------
+        if y_split:
+            send_down = h[:, :, y0_rows, :ncx]
+            send_up = h[:, :, yp_rows, B - ncx:]
+            recv_above = jax.lax.ppermute(send_down, AXIS_Y, down_y)
+            recv_below = jax.lax.ppermute(send_up, AXIS_Y, up_y)
+            updp = (h[:, :, yp_rows, B - ncx:].astype(acc)
+                    + recv_above.astype(acc)).astype(dtype)
+            h = h.at[:, :, yp_rows, B - ncx:].set(updp)
+            zh = zh.at[:, :, yp_rows, B - ncx:].set(updp[:, ::p])
+            old0 = h[:, :, y0_rows, :ncx].astype(acc)
+            upd0 = (old0 + recv_below.astype(acc)).astype(dtype)
+            h = h.at[:, :, y0_rows, :ncx].set(upd0)
+            zh = zh.at[:, :, y0_rows, :ncx].set(upd0[:, ::p])
+            delta_y = upd0.astype(acc)[:, :, :p] - old0[:, :, :p]
+            hsum_y = upd0.astype(acc)[:, :, :p] + old0[:, :, :p]
+            dmy = d[:, :, :p, :ncx].astype(acc)
+            gmy = g[:, :, :p, :ncx]
+            Pmy = prec_pieces[:, :, :p, :ncx]
+            s = s.at[0].add(jnp.sum(dmy * delta_y))
+            s = s.at[1].add(jnp.sum(hsum_y * delta_y))
+            s = s.at[2].add(jnp.sum(gmy * delta_y))
+            s = s.at[4].add(jnp.sum(gmy * (Pmy * delta_y)))
+            s = s.at[5].add(jnp.sum(Pmy * hsum_y * delta_y))
+
+        # the ONE allreduce per iteration (7 fused scalars, all three axes)
+        s = jax.lax.psum(s, (AXIS, AXIS_Y, AXIS_X))
+        scal = jnp.stack(fk.scalar_recurrence(s, scal[0], scal[1], scal[4]))
+        res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
+        return (x, g, d, h, zg, zd, zh, scal, it, res,
+                hist.at[it].set(res))
+
+    scal0 = jnp.zeros((8,), acc).at[4].set(1.0)
+    state = (x_st, g0, d_st, h_st, zg0, zd0, zh0, scal0,
+             jnp.asarray(0, jnp.int32), res0, history)
+    x, g, d, h, zg, zd, zh, scal, it, res, history = (
+        jax.lax.while_loop(cond, body, state))
+
+    x = fk.delayed_x_fixup(x, g, d, prec_pieces, scal, it)
+    x_lat = fk.from_piece_state(x, p, slab_axis)
+    # z top plane from the neighbor above (zero at the global top); the
+    # y/x maxima rows are already correct (x's piece duplicates stay
+    # consistent, as in the 2D path)
+    top = (jnp.zeros_like(x_lat[:, :1]) if Dz == 1
+           else jax.lax.ppermute(x_lat[:, :1], AXIS, down_z))
+    x_lat = jnp.concatenate([x_lat[:, :-1], top], axis=1)
+    return (x_lat[None, None, None], it, res, history, res <= tol)

@@ -718,13 +718,16 @@ class DistributedBP4_3D:
     n_cells: int = field(metadata=dict(static=True), default=0)
     mesh_shape: tuple = field(metadata=dict(static=True), default=(1, 1, 1))
     backend: str = field(metadata=dict(static=True), default="structured")
+    nc_global: tuple = field(metadata=dict(static=True), default=(0, 0, 0))
 
 
 def build_distributed_3d(s: int, degree: int,
                          mesh_shape: tuple[int, int, int],
                          dtype=jnp.float32, backend: str = "structured",
                          n_components: int = 3, devices=None,
-                         box: BoxMesh | None = None
+                         box: BoxMesh | None = None,
+                         precision: str = "highest",
+                         windowing: str = "reshape"
                          ) -> tuple[DistributedBP4_3D, Mesh]:
     """Partition BP4 over a full 3D device mesh (all three lattice axes).
 
@@ -803,8 +806,13 @@ def build_distributed_3d(s: int, degree: int,
             3, dx * Px, Px + 1)
         co = _pad_dummy_cells(co, tuple(loc))
         if backend == "pallas":
+            # pieces windowing feeds the fused kernel, whose lane block IS
+            # one z-layer (ncy_loc*ncx_loc cells) — pin the operator block
+            # so nc_pad == ncz_loc * B exactly
+            blk = loc[1] * loc[2] if windowing == "pieces" else None
             op = laplace_pallas.make_pallas_operator(
-                sl_layout, dtype=dtype, metric="deferred")
+                sl_layout, dtype=dtype, precision=precision,
+                windowing=windowing, metric="deferred", block=blk)
             co_k = co.reshape(-1, 8, 3).transpose(2, 1, 0)
             return replace_coeffs_pallas_raw(op, co_k, msk, dtype)
         op = laplace_structured.make_structured_operator(sl_layout,
@@ -833,6 +841,7 @@ def build_distributed_3d(s: int, degree: int,
         n_cells=layout.mesh.n_cells,
         mesh_shape=(Dz, Dy, Dx),
         backend=backend,
+        nc_global=(ncz, ncy, ncx),
     )
     return dist, mesh
 

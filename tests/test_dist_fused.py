@@ -178,3 +178,32 @@ def test_dist_fused_2d_matches_single(s, p, Dz, Dy):
     np.testing.assert_allclose(np.asarray(res.res_history)[:n],
                                np.asarray(ref.res_history)[:n],
                                rtol=1e-6, atol=1e-8 * float(ref.res_history[0]))
+
+
+@pytest.mark.parametrize("s,p,Dz,Dy,Dx", [
+    (7, 2, 1, 1, 2),   # pure-x split: ncx=8 -> 4 columns/device
+    (7, 2, 2, 2, 2),   # full 3D: (4, 4, 8) cells over 2x2x2
+    (6, 3, 2, 2, 2),   # p=3, (4, 4, 4) cells
+    (7, 2, 1, 1, 3),   # non-divisible x: ncx=8 over 3 -> 3+3+2 (dummies)
+    (7, 2, 2, 1, 4),   # (z, x) split without y
+])
+def test_dist_fused_3d_matches_single(s, p, Dz, Dy, Dx):
+    """3D (z, y, x) fused decomposition == single device exactly: same
+    iteration counts, history and solution, across divisible and
+    non-divisible x cell-column counts (VERDICT P1 completion: the fused
+    production solver now covers 1D/2D/3D like the merged solver)."""
+    ref, lataxis = _single(s, p)
+    dp, mesh = dist_fused.build_dist_fused_3d(s, p, (Dz, Dy, Dx),
+                                              dtype=jnp.float64)
+    res = dist_fused.solve_fused_3d(dp, mesh)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    assert bool(res.converged)
+    xg = dist.gather_global_3d(res.x, nz=lataxis[0], ny=lataxis[1],
+                               nx=lataxis[2])
+    xr = np.asarray(ref.x)
+    np.testing.assert_allclose(xg, xr,
+                               atol=1e-11 * max(1.0, np.abs(xr).max()))
+    n = int(ref.n_iterations) + 1
+    np.testing.assert_allclose(np.asarray(res.res_history)[:n],
+                               np.asarray(ref.res_history)[:n],
+                               rtol=1e-6, atol=1e-8 * float(ref.res_history[0]))
