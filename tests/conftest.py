@@ -88,6 +88,67 @@ _SLOW_PATTERNS = (
     "test_bf16_metric_operator_error_and_convergence",
     "test_run_one_baseline_matches_merged_iterations",
     "test_renumbered_operator_is_equivalent",
+    # round-3 repartition (full suite had crept to ~13 min): push the
+    # heavier parametrization of each already-covered feature to slow.
+    # Representatives kept fast are noted per group.
+    "test_profiling_helpers_are_safe_everywhere",   # profiling: import/enter covered elsewhere
+    "test_high_degree_pallas_matches_structured[7", # high-p: twostage[5-1]/[6-2] + dispatch stay
+    "test_fused_high_degree_dispatch",
+    "test_baseline_cg_x0_matches_merged_x0",        # x0: bf16_storage/x0 slow set covers
+    "test_dist_fused_3d_matches_single[7-2-2-1-4",  # 3D fused: [7-2-1-1-2] stays
+    "test_dist_fused_3d_matches_single[6-3",
+    "test_dist_fused_3d_matches_single[7-2-1-1-3",
+    "test_dist_fused_3d_matches_single[7-2-2-2-2",
+    "test_dist_fused_2d_matches_single[7-2-2-2",    # 2D fused: [6-2-2-2] stays
+    "test_dist_fused_overlap_single_layer_fallback",  # overlap: [7-2-2] stays
+    "test_overlapped_halo_exchange_matches",        # merged overlap: fused overlap stays
+    "test_pallas_kernel_matches_general[0-1",       # vs-general: structured_matches_general[4-2] stays
+    "test_structured_matches_general[3-1",
+    "test_dist_fused_bf16_storage_converges",       # single-dev fused bf16 parity stays
+    "test_fused_bf16_storage_converges",            # bf16_storage_iteration_parity stays
+    "test_fused_matches_merged_f64[6-2",            # [5-1] stays
+    "test_dist_fused_matches_single[6-3-2",         # [6-2-4] stays
+    "test_distributed_merged_matches_single[8",     # [2] stays
+    "test_distributed_merged_matches_single[4",
+    "test_compact_matches_full[6-3",                # [5-1] stays
+    "test_compact_matches_full[6-2",
+    "test_vmult_matches_dense[3-1]",                # [1-1]/[3-2]/[0-3] stay
+    "test_vmult_matches_dense[1-3]",
+    "test_vmult_matches_dense[0-4]",
+    "test_vmult_matches_dense[0-2]",
+    "test_metric_precomputed_matches_onthefly[4-3", # [2-2] stays
+    "test_nullspace_constants[3-3",                 # [2-2] stays
+    "test_distributed_2d_matches_single[shape2",    # [shape0] stays
+    "test_distributed_2d_replication_invariant",    # replication_invariant_preserved stays
+    "test_distributed_pallas_matches_single[6",     # [2]/[4] stay
+    "test_distributed_pallas_matches_single[3",
+    "test_distributed_pallas_matvec_matches_single",  # dist matvec: CLI matvec check stays
+    "test_distributed_pieces_nondivisible_and_overlap",  # fused nondivisible[5] stays
+    "test_distributed_3d_matches_single[shape2",    # 3d pallas single stays
+    "test_operator_symmetry[1-4",                   # smaller symmetry params stay
+    "test_twostage_piece_vmult_matches_dense[6-2",  # [5-1] stays
+    "test_vmult2d_matches_dense[nc3-2",             # [nc0-1]/[nc2-3] stay
+    "test_vmult2d_matches_dense[nc1-2",
+    "test_windowing_modes_match_reshape[4-3",       # [3-2-*] stay
+    "test_windowing_modes_match_reshape[3-2-matmul",
+    "test_precision_bf16sr_solves",                 # measured-dead-end variant; split2m/split3 stay
+    "test_vjp_is_transpose",                        # transform: smaller AD checks stay
+    "test_delayed_x_fixup_at_truncation[2",         # [1]/[4] stay
+    "test_delayed_x_fixup_at_truncation[3",
+    "test_delayed_x_fixup_at_truncation[7",
+    "test_delayed_x_fixup_at_truncation[10",
+    "test_l2_convergence_rate[2",                   # [1] stays
+    "test_mass_matches_dense[0-3",                  # [1-1]/[3-2] stay
+    "test_run_one_bf16_reduced_precision",          # CLI flags test stays
+    "test_distributed_pallas_backend",              # run_one_distributed_reports stays
+    "test_dist_fused_nondivisible_devices[5",       # edge case -> slow; divisible [6-2-4] stays
+    "test_windowing_conv_irregular_mesh",           # conv mode is non-production
+    "test_piece_vmult_matches_lattice[6-2-2",       # L=2 variant; [6-2-1-False] stays
+    "test_piece_vmult_matches_lattice[6-2-1-True",
+    "test_vmult2d_matches_dense[nc2-3",             # [nc0-1] stays
+    "test_delayed_x_fixup_at_truncation[4",         # [1] stays
+    "test_x_skip_exact[6-2",                        # off-by-default option
+    "test_prec_dtype_bf16_converges",               # off-by-default option
 )
 
 
