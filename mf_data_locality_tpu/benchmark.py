@@ -69,7 +69,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             metric_dtype=None, layers_per_step: int = 1,
             factor: str = "auto", x_skip: bool = False, prec_dtype=None,
             solve_repeats: int = 4, matvec_repeats: int = 2,
-            matvec_inner: int = 50) -> RunResult:
+            matvec_inner: int = 50, problem=None) -> RunResult:
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``).
 
     ``factor="auto"`` picks the measured-optimal contraction factorization
@@ -90,9 +90,12 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     import time as _time
 
     setup_t0 = _time.perf_counter()
-    problem = bp4.build(s, degree, dtype=dtype, backend=backend,
-                        precision=precision, windowing=windowing,
-                        metric_dtype=metric_dtype, factor=factor)
+    if problem is None:
+        # callers timing many degrees may pass a prebuilt problem (same
+        # build arguments) to avoid paying setup twice
+        problem = bp4.build(s, degree, dtype=dtype, backend=backend,
+                            precision=precision, windowing=windowing,
+                            metric_dtype=metric_dtype, factor=factor)
     vmult_fn = _VMULT[backend]
     if verbose:
         # reference verbose mode: diagonal norm + setup time

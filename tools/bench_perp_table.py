@@ -72,16 +72,18 @@ def main():
     for p in [int(x) for x in args.degrees.split(",")]:
         s = LADDER[p]
         try:
+            factor = "twostage" if p >= 5 else "dense"
+            pb = bp4.build(s, p, dtype=jnp.float32, backend="pallas",
+                           precision=args.precision, windowing="pieces",
+                           metric_dtype=mdt, factor=factor)
             r = run_one(p, s, solver="fused", dtype=jnp.float32,
                         backend="pallas", precision=args.precision,
                         windowing="pieces", metric_dtype=mdt,
                         x_skip=args.x_skip, prec_dtype=pdt,
-                        solve_repeats=2, matvec_repeats=2, matvec_inner=20)
+                        solve_repeats=2, matvec_repeats=2, matvec_inner=50,
+                        problem=pb)
             # matvec model: src read + dst write (+1/p z-plane re-touch) at
             # f32 + the metric stream's actual bytes
-            pb = bp4.build(s, p, dtype=jnp.float32, backend="pallas",
-                           precision=args.precision, windowing="pieces",
-                           metric_dtype=mdt)
             met_bytes = pb.op.gmetric.size * pb.op.gmetric.dtype.itemsize
             mv_bytes_per_dof = 8.0 * (1 + 1 / p) + met_bytes / r.n_dofs
             mv_roofline = bw / mv_bytes_per_dof
