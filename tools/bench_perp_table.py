@@ -38,6 +38,7 @@ def log(msg):
 
 
 def main():
+    global OUT
     ap = argparse.ArgumentParser()
     # production config (round-3 measured): plain split2m + factor auto;
     # metric-bf16 / x-skip / bf16-P all measured neutral (R3_BATCH2.txt)
@@ -45,8 +46,12 @@ def main():
     ap.add_argument("--metric-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--x-skip", action="store_true", default=False)
     ap.add_argument("--prec-dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="vector-stream storage dtype (bf16 = reduced rung)")
     ap.add_argument("--degrees", default="1,2,3,4,5,6,7,8,9,10,11")
+    ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
+    OUT = args.out
 
     import jax
 
@@ -61,8 +66,10 @@ def main():
     bw = timing.measure_hbm_bandwidth()
     mdt = jnp.bfloat16 if args.metric_dtype == "bf16" else None
     pdt = jnp.bfloat16 if args.prec_dtype == "bf16" else None
+    vdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     log(f"# per-degree roofline table  backend={jax.default_backend()}  "
-        f"bw={bw/1e9:.0f} GB/s  config: precision={args.precision} "
+        f"bw={bw/1e9:.0f} GB/s  config: dtype={args.dtype} "
+        f"precision={args.precision} "
         f"metric={args.metric_dtype} x_skip={args.x_skip} "
         f"prec_dtype={args.prec_dtype} factor=auto")
     log(f"#  p |  s |   n_dofs | time/it us | GDoF/s/it | frac_solve | "
@@ -73,19 +80,20 @@ def main():
         s = LADDER[p]
         try:
             factor = "twostage" if p >= 5 else "dense"
-            pb = bp4.build(s, p, dtype=jnp.float32, backend="pallas",
+            pb = bp4.build(s, p, dtype=vdt, backend="pallas",
                            precision=args.precision, windowing="pieces",
                            metric_dtype=mdt, factor=factor)
-            r = run_one(p, s, solver="fused", dtype=jnp.float32,
+            r = run_one(p, s, solver="fused", dtype=vdt,
                         backend="pallas", precision=args.precision,
                         windowing="pieces", metric_dtype=mdt,
                         x_skip=args.x_skip, prec_dtype=pdt,
                         solve_repeats=2, matvec_repeats=2, matvec_inner=50,
                         problem=pb)
             # matvec model: src read + dst write (+1/p z-plane re-touch) at
-            # f32 + the metric stream's actual bytes
+            # the stream dtype + the metric stream's actual bytes
             met_bytes = pb.op.gmetric.size * pb.op.gmetric.dtype.itemsize
-            mv_bytes_per_dof = 8.0 * (1 + 1 / p) + met_bytes / r.n_dofs
+            word = 4.0 if args.dtype == "f32" else 2.0
+            mv_bytes_per_dof = 2 * word * (1 + 1 / p) + met_bytes / r.n_dofs
             mv_roofline = bw / mv_bytes_per_dof
             gsolve = r.dofs_per_s_per_it
             gmv = r.n_dofs / r.time_per_matvec
