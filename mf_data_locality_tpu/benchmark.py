@@ -69,7 +69,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             metric_dtype=None, layers_per_step: int = 1,
             factor: str = "auto", x_skip: bool = False, prec_dtype=None,
             solve_repeats: int = 4, matvec_repeats: int = 2,
-            matvec_inner: int = 50, problem=None) -> RunResult:
+            matvec_inner: int = 50, problem=None,
+            metric: str = "precomputed") -> RunResult:
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``).
 
     ``factor="auto"`` picks the measured-optimal contraction factorization
@@ -81,8 +82,9 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     from functools import partial
 
     if factor == "auto":
+        # twostage needs the precomputed (6q^2, qB) metric layout
         factor = ("twostage" if degree >= 5 and windowing == "pieces"
-                  else "dense")
+                  and metric == "precomputed" else "dense")
 
     from mf_data_locality_tpu.models.bp4 import _VMULT
     from mf_data_locality_tpu.solvers import cg, cg_fused, cg_merged
@@ -95,7 +97,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         # build arguments) to avoid paying setup twice
         problem = bp4.build(s, degree, dtype=dtype, backend=backend,
                             precision=precision, windowing=windowing,
-                            metric_dtype=metric_dtype, factor=factor)
+                            metric_dtype=metric_dtype, factor=factor,
+                            metric=metric)
     vmult_fn = _VMULT[backend]
     if verbose:
         # reference verbose mode: diagonal norm + setup time
@@ -292,6 +295,15 @@ def main(argv: list[str] | None = None) -> None:
                     help="pallas lattice<->cell-batch windowing strategy")
     ap.add_argument("--metric-dtype", choices=["f32", "bf16"], default="f32",
                     help="storage dtype of the precomputed metric stream")
+    ap.add_argument("--geometry", choices=["qpoint", "onthefly"],
+                    default="qpoint",
+                    help="qpoint: stream the precomputed 6-entry metric "
+                         "per q-point; onthefly: store 24 floats/cell and "
+                         "rebuild the Jacobian metric per q-point in-kernel "
+                         "(the reference's data-locality trade, "
+                         "poisson_operator.h:470-520; 54x less geometry "
+                         "HBM at p=4, more VPU work — pieces windowing, "
+                         "dense factorization)")
     ap.add_argument("--layers-per-step", type=int, default=1,
                     help="z-cell layers per fused-kernel grid step")
     ap.add_argument("--factor", choices=["auto", "dense", "twostage"],
@@ -335,7 +347,9 @@ def main(argv: list[str] | None = None) -> None:
                         layers_per_step=args.layers_per_step,
                         factor=args.factor, x_skip=args.x_skip,
                         prec_dtype=(jnp.bfloat16 if args.prec_dtype == "bf16"
-                                    else None))
+                                    else None),
+                        metric=("onthefly" if args.geometry == "onthefly"
+                                else "precomputed"))
         print(r.row() + ("" if r.converged else "   [not converged]"))
 
 

@@ -98,7 +98,10 @@ def _factor_setup(op: PallasOperatorData, p: int, q: int, ncz: int, B: int):
     """Per-factorization kernel operands:
     (m_fwd, m_bwd, nsplit, gmetric4d, zmats).
 
-    dense: the (3q^3, p1^3) matrices + (6q^3, ncz, 1, B) metric.
+    dense: the (3q^3, p1^3) matrices + (6q^3, ncz, 1, B) metric — or, for
+    an operator built with ``metric='onthefly'`` (``gmetric is None``),
+    the (24, ncz, 1, B) trilinear-coefficient rows from which the kernel
+    rebuilds the metric per q-point (:func:`_metric_onthefly`).
     twostage: the (3q^2, p1^2) 2D matrices + (6q^2, ncz, 1, q*B) metric
     (qz in lanes) + the z factors as nested float lists (compile-time
     scalars for the VPU plane recurrences).  Matrices arrive
@@ -109,13 +112,70 @@ def _factor_setup(op: PallasOperatorData, p: int, q: int, ncz: int, B: int):
             raise ValueError(
                 "factor='twostage' requires an operator built with "
                 "windowing='pieces' (mats2d missing)")
+        if op.gmetric is None:
+            raise ValueError("factor='twostage' requires "
+                             "metric='precomputed' (its (6q^2, qB) metric "
+                             "layout has no on-the-fly form)")
         Sz, Dz = _z_matrices(p, q)
         zmats = ([[float(x) for x in row] for row in Sz],
                  [[float(x) for x in row] for row in Dz])
         mf, mb, ns = _prestack(op.mats2d, op.precision)
-        return mf, mb, ns, gmetric_twostage(op.gmetric, q, ncz, B), zmats
+        return (mf, mb, ns, gmetric_twostage(op.gmetric, q, ncz, B), zmats,
+                None)
     mf, mb, ns = _prestack(op.mats, op.precision)
-    return mf, mb, ns, op.gmetric.reshape(6 * q ** 3, ncz, 1, B), None
+    if op.gmetric is None:
+        # metric='onthefly': ship the 24 coefficient rows per cell plus one
+        # static (4q^3, 8) operand [P_du; P_dv; P_dw; w3-in-col-0] for the
+        # in-kernel Jacobian rebuild (:func:`_metric_onthefly`)
+        geo = jnp.concatenate(
+            [op.pds, jnp.pad(op.w3, ((0, 0), (0, 7)))], axis=0)
+        return mf, mb, ns, op.coeffs.reshape(24, ncz, 1, B), None, geo
+    return (mf, mb, ns, op.gmetric.reshape(6 * q ** 3, ncz, 1, B), None,
+            None)
+
+
+def _metric_onthefly(c24, geo):
+    """Rebuild the 6 metric entries from the 24 trilinear coefficients.
+
+    ``c24``: (24, Bc) geometry rows of one z-cell layer (row d * 8 + k =
+    monomial coefficient k of coordinate d — ``op.coeffs`` kernel layout).
+    ``geo``: (4 q^3, 8) static rows [P_du; P_dv; P_dw; w3] — the monomial
+    derivative matrices (``op.pds``) with the tensor quadrature weights
+    packed in column 0 of the last block.  Returns (6 q^3, Bc) in the
+    precomputed ``gmetric`` stream's entry-major row order (00, 01, 02,
+    11, 12, 22), so the caller's contraction code is unchanged.
+
+    This is the in-kernel realization of the reference's on-the-fly
+    geometry (``poisson_operator.h:470-520``: per-cell mapping
+    coefficients -> Jacobian -> ``do_invert`` per q-point in registers,
+    built from ``cell_quadratic_coefficients``, ``poisson_operator.h:
+    108-180``): HBM geometry traffic drops from 6 q^3 to 24 words/cell
+    (54x at p=4) for an MXU Jacobian evaluation (K = 8) plus ~70 VPU ops
+    per q-point-lane (invert + metric assembly).  The Jacobian matmul
+    runs at f32 class (explicit hi/lo split — Mosaic would otherwise
+    round the geometry to one bf16 pass) except in f64 interpret mode,
+    which keeps exact accumulation.
+    """
+    q3 = geo.shape[0] // 4
+    pds, w3 = geo[: 3 * q3], geo[3 * q3:, 0:1]
+    jprec = "highest" if c24.dtype == jnp.float64 else "split3"
+    # J[d][e] = dx_d/d(uvw)_e at rows [e q^3:(e+1) q^3] (geometry.jacobian)
+    J = [_mm(pds, c24[8 * d: 8 * (d + 1)], jprec) for d in range(3)]
+    (a, b, c_), (d, e, f), (g, h, i) = (
+        (Jd[:q3], Jd[q3: 2 * q3], Jd[2 * q3:]) for Jd in J)
+    # adj = det * J^{-1}, cofactor layout of geometry.invert_3x3
+    adj = [[e * i - f * h, c_ * h - b * i, b * f - c_ * e],
+           [f * g - d * i, a * i - c_ * g, c_ * d - a * f],
+           [d * h - e * g, b * g - a * h, a * e - b * d]]
+    det = a * adj[0][0] + b * adj[1][0] + c_ * adj[2][0]
+    # G[e,f] = det w (J^{-1} J^{-T})[e,f] = (w / det) sum_d adj_ed adj_fd
+    scale = w3.astype(det.dtype) / det
+    rows = []
+    for e_ in range(3):
+        for f_ in range(e_, 3):
+            rows.append((adj[e_][0] * adj[f_][0] + adj[e_][1] * adj[f_][1]
+                         + adj[e_][2] * adj[f_][2]) * scale)
+    return jnp.concatenate(rows, axis=0)
 
 
 def _stream_parts(b: jax.Array, nsplit: int):
@@ -384,7 +444,7 @@ def _reduce_mm(v: jax.Array, p: int, ncx: int) -> jax.Array:
 def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
                     g6, rep, u4,
                     mask, compact=False, factor="dense", zmats=None,
-                    y_split=False, x_split=False):
+                    y_split=False, x_split=False, geo=None):
     """The BP4 operator on one z-cell layer of piece-form values.
 
     ``factor="dense"``: ``m_f``/``m_b`` are the (3q^3, p1^3) stacked
@@ -468,6 +528,8 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
         p13 = p1 * p1 * p1
         q3 = m_f.shape[0] // 3
         u = u4.reshape(n_comp * p13, B)
+        if g6.shape[0] == 24:  # metric='onthefly': 24 coefficient rows
+            g6 = _metric_onthefly(g6, geo)
         g00, g01, g02 = (rep(g6[:q3]), rep(g6[q3:2 * q3]),
                          rep(g6[2 * q3:3 * q3]))
         g11, g12, g22 = (rep(g6[3 * q3:4 * q3]), rep(g6[4 * q3:5 * q3]),
@@ -536,7 +598,7 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
                      x2_ref, g2_ref, d2_ref, h2_ref,
                      zg2_ref, zd2_ref, zh2_ref,
                      dots_ref, carry_out_ref,
-                     carry_ref, dacc_ref, carry0_ref=None):
+                     carry_ref, dacc_ref, carry0_ref=None, geo_ref=None):
     """One grid step (L z-cell layers) of the fused CG iteration.
 
     See the module docstring for the iteration structure; L is derived
@@ -608,9 +670,11 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     # upcast before reshape/slice: bf16 sublane-collapsing shape casts are
     # expensive (or unsupported) Mosaic relayouts; the metric multiplies
     # into f32 MXU results anyway.  Row/lane counts are layout-generic:
-    # dense (6q^3, L, Bc) vs twostage (6q^2, L, q*Bc)
+    # dense (6q^3, L, Bc) vs twostage (6q^2, L, q*Bc) vs onthefly (24,
+    # L, Bc) coefficient rows
     g6_all = g6_ref[:].astype(acc).reshape(
         g6_ref.shape[0], L, g6_ref.shape[-1])
+    geo = geo_ref[:].astype(acc) if geo_ref is not None else None
 
     def layer(j, carry_in):
         """One z-cell layer (sublayer j of this grid step).
@@ -676,7 +740,7 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         v = _operator_block(precision, n_comp, p, ncx, ablate,
                             m_f, m_b, nsplit, g6_all[:, j], rep, d2f, mask,
                             compact=compact, factor=factor, zmats=zmats,
-                            y_split=y_split, x_split=x_split)
+                            y_split=y_split, x_split=x_split, geo=geo)
         first = v[:, :1] + carry_in
         vmain = (first if p == 1
                  else jnp.concatenate([first, v[:, 1:p]], axis=1))
@@ -767,7 +831,7 @@ def scalar_recurrence(s, alpha, beta, parity):
 def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
                    compact, factor, zmats, nsplit,
                    matsf_ref, matsb_ref, g6_ref, zoff_ref,
-                   d_ref, zd_ref, dh_ref,
+                   d_ref, zd_ref, dh_ref, geo_ref,
                    h2_ref, zh2_ref,
                    carry_ref):
     """Piece-resident operator apply (the fused kernel minus CG updates).
@@ -801,6 +865,7 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
     m_b = matsb_ref[:]
     g6_all = g6_ref[:].astype(acc).reshape(
         g6_ref.shape[0], L, g6_ref.shape[-1])
+    geo = geo_ref[:].astype(acc) if geo_ref is not None else None
     if precision == "bf16sr":
         # standalone-apply seed: per grid step only (no iteration state)
         pltpu.prng_seed(i)
@@ -821,7 +886,8 @@ def _matvec_kernel(precision, n_comp, p, dims, acc, ablate, n_rep, ncz_g,
             d_f = _expand_mm(d_f, p, ncx)
         v = _operator_block(precision, n_comp, p, ncx, ablate,
                             m_f, m_b, nsplit, g6_all[:, j], rep, d_f, mask,
-                            compact=compact, factor=factor, zmats=zmats)
+                            compact=compact, factor=factor, zmats=zmats,
+                            geo=geo)
         first = v[:, :1] + carry_in
         vmain = (first if p == 1
                  else jnp.concatenate([first, v[:, 1:p]], axis=1))
@@ -870,17 +936,25 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
         halo = jnp.zeros((n_comp, 1, Rs, B), store)
 
     q = round(q3 ** (1 / 3))
-    mf_op, mb_op, nsplit, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
+    mf_op, mb_op, nsplit, gm_op, zmats, geo_op = _factor_setup(
+        op, p, q, ncz, B)
     # the Pallas interpreter has no prng_seed/stochastic_round lowering:
     # bf16sr degrades to round-to-nearest there (same bf16 stream class)
     prec = "bf16" if (interpret and op.precision == "bf16sr") \
         else op.precision
 
+    kfn = functools.partial(_matvec_kernel, prec, n_comp, p,
+                            (ncz, ncy, ncx), acc, (), 1,
+                            ncz_global if ncz_global is not None else ncz,
+                            compact, op.factor, zmats, nsplit)
+    if geo_op is None:
+        def kern(*refs):
+            return kfn(*refs[:7], None, *refs[7:])
+    else:
+        kern = kfn
+
     outs = pl.pallas_call(
-        functools.partial(_matvec_kernel, prec, n_comp, p,
-                          (ncz, ncy, ncx), acc, (), 1,
-                          ncz_global if ncz_global is not None else ncz,
-                          compact, op.factor, zmats, nsplit),
+        kern,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(mf_op.shape, lambda i: (0, 0),
@@ -899,6 +973,9 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_comp, 1, Rs, B), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            *([pl.BlockSpec(geo_op.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)]
+              if geo_op is not None else []),
         ],
         out_specs=[
             pl.BlockSpec((n_comp, L * p, Rs, B), lambda i: (0, i, 0, 0),
@@ -915,7 +992,8 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(mf_op, mb_op, gm_op,
-      jnp.asarray(z0, jnp.int32).reshape(1), d, zd, halo)
+      jnp.asarray(z0, jnp.int32).reshape(1), d, zd, halo,
+      *([geo_op] if geo_op is not None else []))
     return outs  # (h, zh)
 
 
@@ -1120,7 +1198,8 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             "y_split/x_split require the non-compact piece state (the "
             "duplicated rows are the y/x input halo); pass compact=False")
     q = round(q3 ** (1 / 3))
-    mf_op, mb_op, nsplit, gm_op, zmats = _factor_setup(op, p, q, ncz, B)
+    mf_op, mb_op, nsplit, gm_op, zmats, geo_op = _factor_setup(
+        op, p, q, ncz, B)
     # the Pallas interpreter has no prng_seed/stochastic_round lowering:
     # bf16sr degrades to round-to-nearest there (same bf16 stream class)
     prec = "bf16" if (interpret and op.precision == "bf16sr") \
@@ -1138,7 +1217,10 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
 
     def kern(*refs):
         refs = list(refs)
-        # the optional carry0 operand sits after the fixed inputs
+        # optional trailing inputs (after the fixed ones, geo last so the
+        # state-aliasing indices below never shift): carry0, then geo
+        n_opt = n_in + (1 if carry0 is not None else 0)
+        geo_ref = refs.pop(n_opt) if geo_op is not None else None
         c0_ref = refs.pop(n_in) if carry0 is not None else None
         if not with_x:
             refs.insert(7, None)    # x_ref slot
@@ -1149,7 +1231,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
             *head, dots_ref, carry_ref, dacc_ref = refs
             carry_out_ref = None
         return base(*head, dots_ref, carry_out_ref, carry_ref, dacc_ref,
-                    c0_ref)
+                    c0_ref, geo_ref)
 
     # Alias every state operand to its output so the while-loop carried
     # buffers update in place — XLA otherwise copies all four state arrays
@@ -1204,6 +1286,10 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     if carry0 is not None:
         in_specs.append(halo_spec(n_comp))
         operands.append(carry0)
+    if geo_op is not None:  # metric='onthefly' static Jacobian-eval rows
+        in_specs.append(pl.BlockSpec(geo_op.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(geo_op)
 
     outs = pl.pallas_call(
         kern,

@@ -249,8 +249,11 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
     ``metric``: "precomputed" stores the 6 metric entries per q-point
     (6*q^3*4 bytes/cell of HBM) and streams them through the kernel;
     "onthefly" stores 24 floats/cell and rebuilds J per q-point in-kernel
-    (the reference's trade, ``poisson_operator.h:151-179``) — keep for
-    memory-constrained cases.  ``precision``: "highest" (exact f32 matmuls),
+    (the reference's trade, ``poisson_operator.h:151-179``).  With
+    windowing="pieces" the rebuild happens inside the piece-resident
+    kernels (``cg_fused_kernel._metric_onthefly``; dense factorization
+    only) — 54x less geometry HBM at p=4 for ~100 extra VPU ops per
+    q-point-lane.  ``precision``: "highest" (exact f32 matmuls),
     "split3" (manual 3-product bf16 hi/lo split, ~1e-5 relative operator
     error, f32-HIGH class), or "bf16" (single-pass, ~1e-3).
     ``metric_dtype``: storage dtype of the precomputed metric stream
@@ -326,11 +329,14 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         mask_w = _to_zslab_form(
             jnp.asarray(mask.astype(np.float64), vec_dtype), p)
     elif windowing == "pieces":
-        if gmetric is None:
-            raise ValueError("windowing='pieces' requires metric='precomputed'")
+        if gmetric is None and metric != "onthefly":
+            raise ValueError(
+                "windowing='pieces' requires metric='precomputed', "
+                "'deferred', or 'onthefly'")
         ncz_, ncy_, ncx_ = layout.mesh.n_cells_axis
         B = ncy_ * ncx_
-        gmetric = gmetric[:, :nc]
+        if gmetric is not None:
+            gmetric = gmetric[:, :nc]
         co = co[:, :, :nc]
         nc_pad = nc
         mats = mats[:, _piece_perm(p)]
@@ -889,6 +895,11 @@ def apply_lattice_pieces(op: PallasOperatorData, u: jax.Array,
     """Matvec with corner-piece windowing (windowing="pieces")."""
     import functools
 
+    if op.gmetric is None:
+        raise ValueError(
+            "apply_lattice_pieces requires metric='precomputed'; "
+            "metric='onthefly' operators run through the piece-resident "
+            "paths (cg_fused_kernel.piece_vmult / fused_cg_iteration)")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     p1 = round(op.mats.shape[1] ** (1 / 3))

@@ -322,3 +322,51 @@ def test_prec_dtype_bf16_converges():
     xr = np.asarray(ref.x)
     np.testing.assert_allclose(np.asarray(res.x), xr,
                                atol=1e-6 * max(1.0, np.abs(xr).max()))
+
+
+@pytest.mark.parametrize("s,p", [(6, 2), (6, 3)])
+def test_onthefly_metric_matches_precomputed(s, p):
+    """pieces + metric='onthefly': the in-kernel Jacobian rebuild
+    (cg_fused_kernel._metric_onthefly — the reference's on-the-fly
+    geometry, poisson_operator.h:470-520) must reproduce the streamed
+    precomputed metric: same matvec, same solve."""
+    problem, lataxis, b_lat, prec_lat = _setup(s, p)
+    potf = bp4.build(s, p, dtype=jnp.float64, backend="pallas",
+                     precision="highest", windowing="pieces",
+                     metric="onthefly")
+    assert potf.op.gmetric is None
+
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((3,) + lataxis)) * problem.op.mask
+    dpc = fk.to_piece_state(u, p)[:, :, :p * p]
+    zd = fk.zplanes_init(dpc, p)
+    h0, _ = fk.piece_vmult(problem.op, lataxis, dpc, zd, compact=True)
+    h1, _ = fk.piece_vmult(potf.op, lataxis, dpc, zd, compact=True)
+    scale = float(jnp.max(jnp.abs(h0)))
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                               atol=1e-12 * scale)
+
+    r0 = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat,
+                                        prec_lat)
+    r1 = cg_fused.fused_merged_cg_solve(potf.op, lataxis, b_lat, prec_lat)
+    assert int(r1.n_iterations) == int(r0.n_iterations)
+    xr = np.asarray(r0.x)
+    np.testing.assert_allclose(np.asarray(r1.x), xr,
+                               atol=1e-10 * max(1.0, np.abs(xr).max()))
+
+
+def test_onthefly_metric_guards():
+    """onthefly excludes the twostage metric layout and the lattice-form
+    pieces matvec — both must fail loudly, not silently misbehave."""
+    import mf_data_locality_tpu.ops.laplace_pallas as lp
+
+    potf = bp4.build(6, 2, dtype=jnp.float64, backend="pallas",
+                     precision="highest", windowing="pieces",
+                     metric="onthefly", factor="twostage")
+    lataxis = potf.layout.n_nodes_axis
+    b_lat = potf.b.reshape((3,) + lataxis)
+    prec_lat = potf.inv_diag.reshape((1,) + lataxis)
+    with pytest.raises(ValueError, match="twostage"):
+        cg_fused.fused_merged_cg_solve(potf.op, lataxis, b_lat, prec_lat)
+    with pytest.raises(ValueError, match="onthefly"):
+        lp.apply_lattice_pieces(potf.op, b_lat)
