@@ -55,9 +55,22 @@ def main() -> None:
           f"time/it={r.time_per_it:.3e}s time/matvec={r.time_per_matvec:.3e}s "
           f"measured_bw={bw/1e9:.0f}GB/s roofline={roofline/1e9:.2f}GDoF/s/it "
           f"converged={r.converged}", file=sys.stderr)
-    print("# NOTE: the raw GDoF/s/it value is the stable cross-round "
-          "signal; the roofline denominator varies with the session's "
-          "measured bandwidth (741-921 GB/s observed)", file=sys.stderr)
+    # Second denominator: the kernel's OWN streamed traffic.  The 9-word
+    # model above is the REFERENCE's — it holds there because the reference
+    # rebuilds the Jacobian per q-point from compressed per-cell
+    # coefficients (poisson_operator.h:470-520), making geometry ~0.3
+    # words/DoF.  Our production kernel streams the precomputed 6q^3-word
+    # metric (measured faster on TPU, where the VPU, not HBM, binds; the
+    # reference's trade is available as --geometry onthefly).  Per-cell
+    # streamed bytes: x,g r+w f32 + d,h r+w + Z-planes + P + metric.
+    nc, q = 2 ** s, degree + 2
+    stream_bytes = nc * (3 * degree ** 3 * 32 + 3 * degree ** 2 * 24
+                         + 4 * degree ** 3 + 24 * q ** 3)
+    frac_str = (stream_bytes / bw) / r.time_per_it
+    print(f"# frac_of_streamed_traffic_roofline={frac_str:.3f} "
+          f"(streamed {stream_bytes/1e6:.0f} MB/it; vs_baseline keeps the "
+          "reference's 9-word ideal as the cross-round denominator)",
+          file=sys.stderr)
 
     # split3 variant: explicit bf16 hi/lo 3-product decomposition —
     # bitwise f32-class matmuls, 3 MXU passes (the previous headline)

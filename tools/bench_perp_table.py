@@ -4,8 +4,19 @@ VERDICT round-2 item 5: one session's bandwidth measurement, then for each
 degree the ladder's largest single-chip size with the production config,
 reporting solve and matvec throughput AND their roofline fractions:
 
-  - solve fraction: against the merged-CG ideal of 9 f32 words/DoF/iter
+  - frac_solve: against the merged-CG ideal of 9 f32 words/DoF/iter
     (x, g, d, h read+write + P + geometry; BASELINE.md traffic model).
+    NOTE this 9-word model is the REFERENCE's: it holds there because the
+    reference rebuilds the Jacobian per q-point from 27 compressed
+    per-cell coefficients (poisson_operator.h:470-520), so geometry costs
+    ~0.3 words/DoF.  Our production kernel STREAMS the precomputed
+    6 q^3-word metric instead (measured faster on TPU, where the VPU —
+    not HBM — is the binding resource), so its own traffic is higher.
+  - frac_str: against the kernel's OWN streamed traffic (state sweeps at
+    their actual dtypes + Z-plane duplicates + P + the metric stream) —
+    "how close is the iteration to the DMA floor of what it actually
+    moves".  The gap between frac_str and 1.0 is serial in-kernel compute
+    (MXU passes + VPU metric/sweep phases, R3_BATCH6/7 ablations).
   - matvec fraction: against read-src + write-dst (8 B/DoF f32-class) plus
     the operator's actual metric-stream bytes per DoF (precision-dependent).
 
@@ -73,9 +84,33 @@ def main():
         f"metric={args.metric_dtype} x_skip={args.x_skip} "
         f"prec_dtype={args.prec_dtype} factor=auto")
     log(f"#  p |  s |   n_dofs | time/it us | GDoF/s/it | frac_solve | "
-        f"time/mv us | mv GDoF/s | frac_mv | itCG")
+        f"frac_str | time/mv us | mv GDoF/s | frac_mv | itCG")
 
     solve_roofline = bw / 36.0  # 9 f32 words/DoF/iter
+
+    def stream_bytes_per_it(pb, p):
+        """Actual HBM bytes the fused iteration streams (state arrays at
+        their dtypes, in-place aliased read+write; Z-plane duplicates; the
+        P read; the metric stream) — the frac_str denominator."""
+        op = pb.op
+        nc = op.n_cells
+        wd = pb.b.dtype.itemsize          # d, h, zd, zh storage
+        wp = 2 if args.prec_dtype == "bf16" else pb.inv_diag.dtype.itemsize
+        n_el = 3 * p ** 3 * nc            # one compact state array
+        nz_el = 3 * p ** 2 * nc           # one Z-plane array
+        by = 2 * 4 * n_el                 # x r+w (f32 accumulation dtype)
+        if args.x_skip:
+            by /= 2                       # x untouched every 2nd iteration
+        by += 2 * 4 * n_el                # g r+w (f32)
+        by += 2 * 2 * wd * n_el           # d, h r+w
+        by += 2 * 4 * nz_el               # zg r+w (f32)
+        by += 2 * 2 * wd * nz_el          # zd, zh r+w
+        by += wp * p ** 3 * nc            # P read (one scalar per node)
+        if op.gmetric is not None:
+            by += op.gmetric.size * op.gmetric.dtype.itemsize
+        else:
+            by += op.coeffs.size * op.coeffs.dtype.itemsize  # onthefly
+        return by
     for p in [int(x) for x in args.degrees.split(",")]:
         s = LADDER[p]
         try:
@@ -97,9 +132,10 @@ def main():
             mv_roofline = bw / mv_bytes_per_dof
             gsolve = r.dofs_per_s_per_it
             gmv = r.n_dofs / r.time_per_matvec
+            frac_str = (stream_bytes_per_it(pb, p) / bw) / r.time_per_it
             log(f"  {p:2d} | {s:2d} | {r.n_dofs:8d} | "
                 f"{r.time_per_it*1e6:10.1f} | {gsolve/1e9:9.2f} | "
-                f"{gsolve/solve_roofline:10.3f} | "
+                f"{gsolve/solve_roofline:10.3f} | {frac_str:8.3f} | "
                 f"{r.time_per_matvec*1e6:10.1f} | {gmv/1e9:9.2f} | "
                 f"{gmv/mv_roofline:7.3f} | {r.n_iterations}"
                 + ("" if r.converged else "  [not converged]"))
