@@ -39,8 +39,13 @@ def main() -> None:
     # round 3: iteration counts at the p=3..6 convergent points are within
     # +1..+2 of the f64 reference and never worse than split3
     # (PARITY.md "On-chip convergence evidence"; tools/R3_BATCH1.txt).
+    # metric='auto' resolves to the in-kernel on-the-fly Jacobian rebuild
+    # at p=4 (even q): measured -20% time/it vs the streamed precomputed
+    # metric at 54x less geometry memory (tools/PROBE_ONTHEFLY.txt) — the
+    # reference's own data-locality trade, poisson_operator.h:470-520.
     r = run_one(degree, s, solver="fused", dtype=jnp.float32,
                 backend="pallas", precision="split2m", windowing="pieces",
+                metric="auto",
                 solve_repeats=2, matvec_repeats=2, matvec_inner=20)
 
     ideal_bytes_per_dof_per_it = 9 * 4  # x,g,d,h sweeps + diag + geometry (f32)
@@ -59,13 +64,15 @@ def main() -> None:
     # model above is the REFERENCE's — it holds there because the reference
     # rebuilds the Jacobian per q-point from compressed per-cell
     # coefficients (poisson_operator.h:470-520), making geometry ~0.3
-    # words/DoF.  Our production kernel streams the precomputed 6q^3-word
-    # metric (measured faster on TPU, where the VPU, not HBM, binds; the
-    # reference's trade is available as --geometry onthefly).  Per-cell
-    # streamed bytes: x,g r+w f32 + d,h r+w + Z-planes + P + metric.
+    # words/DoF.  With metric='auto' the p=4 headline now uses the same
+    # trade in-kernel (24 geometry words/cell); odd-q degrees stream the
+    # precomputed 6q^3-word metric instead (sublane misalignment makes the
+    # rebuild 2x slower there).  Per-cell streamed bytes: x,g r+w f32 +
+    # d,h r+w + Z-planes + P + geometry.
     nc, q = 2 ** s, degree + 2
+    geom_bytes = 96 if q ** 3 % 8 == 0 else 24 * q ** 3
     stream_bytes = nc * (3 * degree ** 3 * 32 + 3 * degree ** 2 * 24
-                         + 4 * degree ** 3 + 24 * q ** 3)
+                         + 4 * degree ** 3 + geom_bytes)
     frac_str = (stream_bytes / bw) / r.time_per_it
     print(f"# frac_of_streamed_traffic_roofline={frac_str:.3f} "
           f"(streamed {stream_bytes/1e6:.0f} MB/it; vs_baseline keeps the "

@@ -63,6 +63,28 @@ class RunResult:
                 f"{self.time_per_matvec:.5e}")
 
 
+def resolve_metric(metric: str, solver: str, windowing: str, factor: str,
+                   degree: int) -> str:
+    """Resolve metric='auto' to the measured-optimal geometry mode.
+
+    'onthefly' (in-kernel Jacobian rebuild from 24 coefficients/cell —
+    the reference's data-locality trade, ``poisson_operator.h:470-520``)
+    wins on the fused pieces path with dense factorization whenever the
+    q-point count q^3 is sublane-aligned (q = p+2 even): measured p=2
+    -4%, p=4 -20%, p=6-dense -25% time/iteration at 27-54x less geometry
+    memory (tools/PROBE_ONTHEFLY.txt).  Odd q leaves every (q^3, B)
+    intermediate sublane-misaligned and loses ~2x (p=3), so those
+    degrees keep the streamed precomputed metric.
+    """
+    if metric != "auto":
+        return metric
+    q = degree + 2
+    if (solver == "fused" and windowing == "pieces" and factor == "dense"
+            and q ** 3 % 8 == 0):
+        return "onthefly"
+    return "precomputed"
+
+
 def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             backend: str = "structured", verbose: bool = False,
             precision: str = "highest", windowing: str = "reshape",
@@ -70,7 +92,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             factor: str = "auto", x_skip: bool = False, prec_dtype=None,
             solve_repeats: int = 4, matvec_repeats: int = 2,
             matvec_inner: int = 50, problem=None,
-            metric: str = "precomputed") -> RunResult:
+            metric: str = "auto") -> RunResult:
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``).
 
     ``factor="auto"`` picks the measured-optimal contraction factorization
@@ -84,7 +106,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     if factor == "auto":
         # twostage needs the precomputed (6q^2, qB) metric layout
         factor = ("twostage" if degree >= 5 and windowing == "pieces"
-                  and metric == "precomputed" else "dense")
+                  and metric in ("precomputed", "auto") else "dense")
+    metric = resolve_metric(metric, solver, windowing, factor, degree)
 
     from mf_data_locality_tpu.models.bp4 import _VMULT
     from mf_data_locality_tpu.solvers import cg, cg_fused, cg_merged
@@ -295,15 +318,17 @@ def main(argv: list[str] | None = None) -> None:
                     help="pallas lattice<->cell-batch windowing strategy")
     ap.add_argument("--metric-dtype", choices=["f32", "bf16"], default="f32",
                     help="storage dtype of the precomputed metric stream")
-    ap.add_argument("--geometry", choices=["qpoint", "onthefly"],
-                    default="qpoint",
+    ap.add_argument("--geometry", choices=["auto", "qpoint", "onthefly"],
+                    default="auto",
                     help="qpoint: stream the precomputed 6-entry metric "
                          "per q-point; onthefly: store 24 floats/cell and "
                          "rebuild the Jacobian metric per q-point in-kernel "
                          "(the reference's data-locality trade, "
                          "poisson_operator.h:470-520; 54x less geometry "
-                         "HBM at p=4, more VPU work — pieces windowing, "
-                         "dense factorization)")
+                         "HBM at p=4 — pieces windowing, dense "
+                         "factorization); auto: onthefly where it measures "
+                         "faster (fused + dense + even q, e.g. p=2, 4: "
+                         "-4%%/-20%% time/it, tools/PROBE_ONTHEFLY.txt)")
     ap.add_argument("--layers-per-step", type=int, default=1,
                     help="z-cell layers per fused-kernel grid step")
     ap.add_argument("--factor", choices=["auto", "dense", "twostage"],
@@ -348,8 +373,8 @@ def main(argv: list[str] | None = None) -> None:
                         factor=args.factor, x_skip=args.x_skip,
                         prec_dtype=(jnp.bfloat16 if args.prec_dtype == "bf16"
                                     else None),
-                        metric=("onthefly" if args.geometry == "onthefly"
-                                else "precomputed"))
+                        metric={"auto": "auto", "qpoint": "precomputed",
+                                "onthefly": "onthefly"}[args.geometry])
         print(r.row() + ("" if r.converged else "   [not converged]"))
 
 

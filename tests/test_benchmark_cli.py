@@ -91,3 +91,21 @@ def test_run_one_distributed_reports_matvec_and_cells():
                                       matvec_repeats=1, matvec_inner=2)
     assert r.n_cells == 8 and np.isfinite(r.time_per_matvec)
     assert r.time_per_matvec > 0
+
+
+def test_resolve_metric_auto():
+    """metric='auto' picks onthefly exactly where it measured faster
+    (fused + pieces + dense factorization + even q; PROBE_ONTHEFLY.txt)."""
+    from mf_data_locality_tpu.benchmark import resolve_metric
+
+    assert resolve_metric("auto", "fused", "pieces", "dense", 4) == "onthefly"
+    assert resolve_metric("auto", "fused", "pieces", "dense", 2) == "onthefly"
+    # odd q: sublane-misaligned rebuild measured 2x slower
+    assert resolve_metric("auto", "fused", "pieces", "dense", 3) == "precomputed"
+    # twostage metric layout has no on-the-fly form
+    assert resolve_metric("auto", "fused", "pieces", "twostage", 6) == "precomputed"
+    # merged solver's lattice-form pieces matvec requires the streamed metric
+    assert resolve_metric("auto", "merged", "pieces", "dense", 4) == "precomputed"
+    # explicit choices pass through untouched
+    assert resolve_metric("onthefly", "fused", "pieces", "dense", 3) == "onthefly"
+    assert resolve_metric("precomputed", "fused", "pieces", "dense", 4) == "precomputed"

@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--prec-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                     help="vector-stream storage dtype (bf16 = reduced rung)")
+    ap.add_argument("--geometry", default="auto",
+                    choices=["auto", "qpoint", "onthefly"],
+                    help="auto = onthefly where measured faster (dense + "
+                         "even q); see benchmark.resolve_metric")
     ap.add_argument("--degrees", default="1,2,3,4,5,6,7,8,9,10,11")
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
@@ -114,10 +118,15 @@ def main():
     for p in [int(x) for x in args.degrees.split(",")]:
         s = LADDER[p]
         try:
+            from mf_data_locality_tpu.benchmark import resolve_metric
+
             factor = "twostage" if p >= 5 else "dense"
+            gm = {"auto": "auto", "qpoint": "precomputed",
+                  "onthefly": "onthefly"}[args.geometry]
+            gm = resolve_metric(gm, "fused", "pieces", factor, p)
             pb = bp4.build(s, p, dtype=vdt, backend="pallas",
                            precision=args.precision, windowing="pieces",
-                           metric_dtype=mdt, factor=factor)
+                           metric_dtype=mdt, factor=factor, metric=gm)
             r = run_one(p, s, solver="fused", dtype=vdt,
                         backend="pallas", precision=args.precision,
                         windowing="pieces", metric_dtype=mdt,
@@ -126,7 +135,9 @@ def main():
                         problem=pb)
             # matvec model: src read + dst write (+1/p z-plane re-touch) at
             # the stream dtype + the metric stream's actual bytes
-            met_bytes = pb.op.gmetric.size * pb.op.gmetric.dtype.itemsize
+            met_bytes = (pb.op.gmetric.size * pb.op.gmetric.dtype.itemsize
+                         if pb.op.gmetric is not None
+                         else pb.op.coeffs.size * pb.op.coeffs.dtype.itemsize)
             word = 4.0 if args.dtype == "f32" else 2.0
             mv_bytes_per_dof = 2 * word * (1 + 1 / p) + met_bytes / r.n_dofs
             mv_roofline = bw / mv_bytes_per_dof
