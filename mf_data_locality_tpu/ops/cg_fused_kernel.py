@@ -169,7 +169,9 @@ def _metric_onthefly(c24, geo):
            [d * h - e * g, b * g - a * h, a * e - b * d]]
     det = a * adj[0][0] + b * adj[1][0] + c_ * adj[2][0]
     # G[e,f] = det w (J^{-1} J^{-T})[e,f] = (w / det) sum_d adj_ed adj_fd
-    scale = w3.astype(det.dtype) / det
+    # (division guarded: odd-q row padding carries det = 0, w3 = 0 rows
+    # that must come out as exactly 0, not NaN)
+    scale = w3.astype(det.dtype) / jnp.where(det == 0.0, 1.0, det)
     rows = []
     for e_ in range(3):
         for f_ in range(e_, 3):

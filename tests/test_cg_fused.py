@@ -324,12 +324,14 @@ def test_prec_dtype_bf16_converges():
                                atol=1e-6 * max(1.0, np.abs(xr).max()))
 
 
-@pytest.mark.parametrize("s,p", [(6, 2), (6, 3)])
+@pytest.mark.parametrize("s,p", [(6, 2), (6, 3), (4, 5)])
 def test_onthefly_metric_matches_precomputed(s, p):
     """pieces + metric='onthefly': the in-kernel Jacobian rebuild
     (cg_fused_kernel._metric_onthefly — the reference's on-the-fly
     geometry, poisson_operator.h:470-520) must reproduce the streamed
-    precomputed metric: same matvec, same solve."""
+    precomputed metric: same matvec, same solve.  p=3 and p=5 exercise
+    the odd-q row padding (q^3 -> next sublane multiple, zero no-op
+    rows)."""
     problem, lataxis, b_lat, prec_lat = _setup(s, p)
     potf = bp4.build(s, p, dtype=jnp.float64, backend="pallas",
                      precision="highest", windowing="pieces",
