@@ -83,11 +83,21 @@ def fused_merged_cg_solve(
 
     b_eff = b
     if x0 is not None:
-        from mf_data_locality_tpu.ops import laplace_pallas as lp
+        if op.gmetric is None:
+            # metric='onthefly' has no lattice-form pieces matvec; apply
+            # the operator through the piece-resident kernel instead
+            x0p = fk.to_piece_state((x0 * op.mask).astype(acc), p)
+            h0p, _ = fk.piece_vmult(op, n_nodes_axis, x0p,
+                                    fk.zplanes_init(x0p, p),
+                                    interpret=interpret)
+            ax0 = fk.from_piece_state(h0p, p, n_nodes_axis)
+        else:
+            from mf_data_locality_tpu.ops import laplace_pallas as lp
 
-        b_eff = b - lp.vmult(op, x0.astype(dtype),
-                             constrained_identity=False,
-                             interpret=interpret).astype(dtype)
+            ax0 = lp.vmult(op, x0.astype(dtype),
+                           constrained_identity=False,
+                           interpret=interpret)
+        b_eff = b - ax0.astype(dtype)
     # enforce the boundary-zero RHS invariant the piece-state kernel relies
     # on (Dirichlet rows never re-masked in-loop); one setup-time pass
     b_eff = b_eff * op.mask.astype(b_eff.dtype)

@@ -372,3 +372,24 @@ def test_onthefly_metric_guards():
         cg_fused.fused_merged_cg_solve(potf.op, lataxis, b_lat, prec_lat)
     with pytest.raises(ValueError, match="onthefly"):
         lp.apply_lattice_pieces(potf.op, b_lat)
+
+
+def test_fused_x0_start_onthefly():
+    """x0 shift with metric='onthefly': the residual equation's A x0 apply
+    must route through the piece-resident matvec (the lattice-form pieces
+    matvec requires the streamed metric) and match the merged solver."""
+    problem, lataxis, b_lat, prec_lat = _setup(6, 2)
+    potf = bp4.build(6, 2, dtype=jnp.float64, backend="pallas",
+                     precision="highest", windowing="pieces",
+                     metric="onthefly")
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.standard_normal(b_lat.shape)) * problem.op.mask
+    ref = cg_merged.merged_cg_solve(problem.a_apply, problem.b,
+                                    problem.inv_diag,
+                                    x0=x0.reshape(problem.b.shape))
+    res = cg_fused.fused_merged_cg_solve(potf.op, lataxis, b_lat, prec_lat,
+                                         x0=x0)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    xr = np.asarray(ref.x).reshape(3, -1)
+    xf = np.asarray(res.x).reshape(3, -1)
+    np.testing.assert_allclose(xf, xr, atol=1e-9 * max(1.0, np.abs(xr).max()))
