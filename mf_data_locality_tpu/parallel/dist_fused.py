@@ -45,11 +45,12 @@ AXIS_X = dist.AXIS_X
 
 def build_dist_fused(s: int, degree: int, n_devices: int | None = None,
                      dtype=jnp.float32, precision: str = "highest",
-                     devices=None, box=None):
+                     devices=None, box=None, metric: str = "precomputed"):
     """Build the z-slab problem for the fused solver (pieces windowing)."""
     return dist.build_distributed(
         s, degree, n_devices=n_devices, dtype=dtype, backend="pallas",
-        precision=precision, windowing="pieces", devices=devices, box=box)
+        precision=precision, windowing="pieces", devices=devices, box=box,
+        metric=metric)
 
 
 def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,

@@ -84,13 +84,28 @@ def build_distributed(s: int, degree: int, n_devices: int | None = None,
                       n_components: int = 3, devices=None,
                       box: BoxMesh | None = None,
                       precision: str = "highest",
-                      windowing: str = "reshape") -> tuple[DistributedBP4, Mesh]:
+                      windowing: str = "reshape",
+                      metric: str = "precomputed") -> tuple[DistributedBP4,
+                                                            Mesh]:
     """Partition the BP4 problem over a 1D device mesh.
 
     Arrays are built globally (host NumPy), split into z-slabs with the
     shared-plane replication, stacked on a leading device axis, and placed
     with a NamedSharding so each device holds exactly its slab.
+
+    ``metric='onthefly'`` (pieces windowing) builds slab operators with no
+    precomputed metric: the fused kernels rebuild the Jacobian per q-point
+    from each slab's 24 coefficients/cell — at scale this is where the
+    reference's data-locality trade pays most (geometry memory drops
+    27-54x per device; measured faster on even-q degrees,
+    tools/PROBE_ONTHEFLY.txt).
     """
+    if metric not in ("precomputed", "onthefly"):
+        raise ValueError(f"unknown metric mode {metric!r}")
+    if metric == "onthefly" and not (backend == "pallas"
+                                     and windowing == "pieces"):
+        raise ValueError("metric='onthefly' requires backend='pallas' "
+                         "windowing='pieces'")
     devs = list(devices if devices is not None else jax.devices())
     D = n_devices or len(devs)
     if len(devs) < D:
@@ -143,7 +158,8 @@ def build_distributed(s: int, degree: int, n_devices: int | None = None,
         if backend == "pallas":
             op = laplace_pallas.make_pallas_operator(
                 sl_layout, dtype=dtype, precision=precision,
-                windowing=windowing, metric="deferred")
+                windowing=windowing,
+                metric="deferred" if metric == "precomputed" else metric)
             co = _slab_cell_coeffs(layout, d, ncz_loc, dtype)
             op = replace_coeffs_pallas(op, co, mask_lat, d, Pp, dtype)
         else:

@@ -207,3 +207,22 @@ def test_dist_fused_3d_matches_single(s, p, Dz, Dy, Dx):
     np.testing.assert_allclose(np.asarray(res.res_history)[:n],
                                np.asarray(ref.res_history)[:n],
                                rtol=1e-6, atol=1e-8 * float(ref.res_history[0]))
+
+
+@pytest.mark.parametrize("s,p,D", [(6, 2, 4), (6, 3, 3)])
+def test_dist_fused_onthefly_matches_single(s, p, D):
+    """Distributed fused solve with metric='onthefly' (slab operators
+    carry 24 coefficients/cell, no precomputed metric; p=3 exercises the
+    odd-q row padding) == single-device f64 reference.  D=3 at ncz=4 also
+    covers the non-divisible dummy-layer case."""
+    ref, lataxis = _single(s, p)
+    dp, mesh = dist_fused.build_dist_fused(s, p, n_devices=D,
+                                           dtype=jnp.float64,
+                                           metric="onthefly")
+    res = dist_fused.solve_fused(dp, mesh)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    assert bool(res.converged)
+    xg = dist.gather_global(res.x, nz=lataxis[0])
+    xr = np.asarray(ref.x)
+    np.testing.assert_allclose(xg, xr,
+                               atol=1e-11 * max(1.0, np.abs(xr).max()))
