@@ -86,6 +86,28 @@ def make_operator(
     )
 
 
+def renumber_operator(op: "LaplaceOperatorData",
+                      perm: np.ndarray) -> "LaplaceOperatorData":
+    """Operator for the node numbering new_id = perm[old_id].
+
+    Permutes the gather map and the constraint mask AND rebuilds the
+    transposed scatter map (``scatter_pos``/``scatter_valid`` index the
+    flattened cell-local output by node id, so a stale map scatters to
+    the wrong nodes — the capability analog of re-running
+    ``renumber_dofs_for_mf.h`` after a renumbering).
+    """
+    from mf_data_locality_tpu.mesh import renumber as rn
+
+    gm2 = rn.apply_permutation(np.asarray(op.gather), np.asarray(perm))
+    mask2 = rn.permute_nodes(np.asarray(op.unconstrained), np.asarray(perm))
+    n_nodes = op.unconstrained.shape[0]
+    pos, valid = _transposed_scatter_map(gm2, n_nodes)
+    return op._replace(gather=jnp.asarray(gm2),
+                       unconstrained=jnp.asarray(mask2, op.unconstrained.dtype),
+                       scatter_pos=jnp.asarray(pos),
+                       scatter_valid=jnp.asarray(valid, op.scatter_valid.dtype))
+
+
 def _transposed_scatter_map(gather_map: np.ndarray, n_nodes: int
                             ) -> tuple[np.ndarray, np.ndarray]:
     """Invert a (n_cells, nloc) gather map into per-node copy positions.

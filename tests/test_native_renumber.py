@@ -78,10 +78,9 @@ def test_renumbered_operator_is_equivalent():
     op = laplace.make_operator(layout, dtype=jnp.float64)
     perm, _ = renumber.locality_permutation(layout.gather_map, layout.n_nodes)
 
-    gm2 = renumber.apply_permutation(layout.gather_map, perm)
-    mask2 = renumber.permute_nodes(np.asarray(op.unconstrained), perm)
-    op2 = op._replace(gather=jnp.asarray(gm2),
-                      unconstrained=jnp.asarray(mask2))
+    # renumber_operator also rebuilds the transposed scatter map — a
+    # stale scatter_pos (round-3 regression) scatters to wrong nodes
+    op2 = laplace.renumber_operator(op, perm)
 
     rng = np.random.default_rng(0)
     u = rng.normal(size=(3, layout.n_nodes))
