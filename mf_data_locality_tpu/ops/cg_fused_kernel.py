@@ -112,26 +112,62 @@ def _factor_setup(op: PallasOperatorData, p: int, q: int, ncz: int, B: int):
             raise ValueError(
                 "factor='twostage' requires an operator built with "
                 "windowing='pieces' (mats2d missing)")
-        if op.gmetric is None:
-            raise ValueError("factor='twostage' requires "
-                             "metric='precomputed' (its (6q^2, qB) metric "
-                             "layout has no on-the-fly form)")
         Sz, Dz = _z_matrices(p, q)
         zmats = ([[float(x) for x in row] for row in Sz],
                  [[float(x) for x in row] for row in Dz])
+        if op.gmetric is None:
+            # metric='onthefly', twostage layout: pad the 2D-stage q^2 row
+            # blocks to a sublane multiple and ship per-qz Jacobian-eval
+            # blocks [P_du; P_dv; P_dw; w3]_{qz} (each q^2-block padded) —
+            # the kernel rebuilds each qz lane group and concatenates to
+            # the (q2p, q*B) twostage metric layout.
+            q2, q2p = q * q, -(-q * q // 8) * 8
+            mf, mb, ns = _prestack(_pad_row_blocks(op.mats2d, 3, q2, q2p),
+                                   op.precision)
+            pdsz = op.pds.reshape(3, q, q2, 8)
+            w3z = op.w3.reshape(q, q2, 1)
+            blocks = []
+            for qz in range(q):
+                blk = jnp.concatenate(
+                    [pdsz[0, qz], pdsz[1, qz], pdsz[2, qz],
+                     jnp.pad(w3z[qz], ((0, 0), (0, 7)))], axis=0)
+                blocks.append(_pad_row_blocks(blk, 4, q2, q2p))
+            geo = jnp.concatenate(blocks, axis=0)  # (q * 4 * q2p, 8)
+            return (mf, mb, ns, op.coeffs.reshape(24, ncz, 1, B), zmats,
+                    geo)
         mf, mb, ns = _prestack(op.mats2d, op.precision)
         return (mf, mb, ns, gmetric_twostage(op.gmetric, q, ncz, B), zmats,
                 None)
-    mf, mb, ns = _prestack(op.mats, op.precision)
     if op.gmetric is None:
         # metric='onthefly': ship the 24 coefficient rows per cell plus one
-        # static (4q^3, 8) operand [P_du; P_dv; P_dw; w3-in-col-0] for the
-        # in-kernel Jacobian rebuild (:func:`_metric_onthefly`)
+        # static (4 q3p, 8) operand [P_du; P_dv; P_dw; w3-in-col-0] for the
+        # in-kernel Jacobian rebuild (:func:`_metric_onthefly`).  Odd q:
+        # every q^3 row block (matrices included) is padded to a sublane
+        # multiple with exact no-op rows — misaligned (q^3, B)
+        # intermediates measured 2x slower at p=3.
+        q3, q3p = q ** 3, -(-q ** 3 // 8) * 8
+        mf, mb, ns = _prestack(_pad_row_blocks(op.mats, 3, q3, q3p),
+                               op.precision)
         geo = jnp.concatenate(
-            [op.pds, jnp.pad(op.w3, ((0, 0), (0, 7)))], axis=0)
+            [_pad_row_blocks(op.pds, 3, q3, q3p),
+             _pad_row_blocks(jnp.pad(op.w3, ((0, 0), (0, 7))), 1, q3, q3p)],
+            axis=0)
         return mf, mb, ns, op.coeffs.reshape(24, ncz, 1, B), None, geo
+    mf, mb, ns = _prestack(op.mats, op.precision)
     return (mf, mb, ns, op.gmetric.reshape(6 * q ** 3, ncz, 1, B), None,
             None)
+
+
+def _pad_row_blocks(m, nblocks: int, rows: int, rows_p: int):
+    """Pad each of ``nblocks`` consecutive ``rows``-row blocks of ``m`` to
+    ``rows_p`` rows with zeros (exact no-op q-points: zero forward rows,
+    zero backward K-rows, zero metric entries via the guarded w3/det)."""
+    if rows_p == rows:
+        return m
+    parts = m.reshape(nblocks, rows, m.shape[-1])
+    z = jnp.zeros((nblocks, rows_p - rows, m.shape[-1]), m.dtype)
+    return jnp.concatenate([parts, z], axis=1).reshape(
+        nblocks * rows_p, m.shape[-1])
 
 
 def _metric_onthefly(c24, geo):
@@ -481,11 +517,19 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
         return _make_consistent(v, p, ncx, y_split=y_split,
                                 x_split=x_split)
     if factor == "twostage":
-        q2 = m_f.shape[0] // 3
-        q = round(q2 ** 0.5)
-        Sz, Dz = zmats
+        q2 = m_f.shape[0] // 3  # q^2, padded to a sublane multiple if
+        Sz, Dz = zmats          # onthefly with odd q
+        q = len(Sz)
         sr2 = precision == "bf16sr"
-        ge = [g6[e * q2:(e + 1) * q2] for e in range(6)]  # (q^2, qB) each
+        if g6.shape[0] == 24:  # metric='onthefly': rebuild per qz group
+            per = geo.shape[0] // q  # 4 * q2p rows per qz block
+            parts = [_metric_onthefly(g6, geo[qz * per:(qz + 1) * per])
+                     for qz in range(q)]  # (6 q2p, B) each
+            ge = [jnp.concatenate([parts[qz][e * q2:(e + 1) * q2]
+                                   for qz in range(q)], axis=-1)
+                  for e in range(6)]      # (q2p, q*B) each
+        else:
+            ge = [g6[e * q2:(e + 1) * q2] for e in range(6)]  # (q^2, qB)
         vs = []
         for c in range(n_comp):
             uc = u4[c]  # (p1, p1^2, B)

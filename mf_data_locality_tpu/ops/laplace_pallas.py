@@ -341,24 +341,9 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         nc_pad = nc
         mats = mats[:, _piece_perm(p)]
         mask_mode = "iota"
-        if metric == "onthefly" and q ** 3 % 8:
-            # odd q: pad every q^3 row block to a sublane multiple with
-            # zero rows so the in-kernel rebuild's (q^3, B) intermediates
-            # stay aligned (misalignment measured 2x at p=3).  Zero matrix
-            # rows make the padded q-points exact no-ops: gr = 0 forward,
-            # zero K-rows backward, metric entries 0 (w3 = 0 and the
-            # guarded division in _metric_onthefly).
-            q3, q3p = q ** 3, -(-q ** 3 // 8) * 8
-
-            def _padrows(m):
-                blocks = m.reshape(3, q3, m.shape[1])
-                z = np.zeros((3, q3p - q3, m.shape[1]))
-                return np.concatenate([blocks, z], axis=1).reshape(
-                    3 * q3p, m.shape[1])
-
-            mats = _padrows(mats)
-            pds = _padrows(pds)
-            w3 = np.concatenate([w3, np.zeros((q3p - q3, 1))], axis=0)
+        # (odd-q onthefly row padding happens at kernel-operand setup —
+        # cg_fused_kernel._factor_setup — so the stored operator arrays
+        # stay canonical)
     elif windowing not in ("reshape", "conv"):
         raise ValueError(f"unknown windowing mode {windowing!r}")
     if windowing != "pieces":

@@ -358,20 +358,38 @@ def test_onthefly_metric_matches_precomputed(s, p):
 
 
 def test_onthefly_metric_guards():
-    """onthefly excludes the twostage metric layout and the lattice-form
-    pieces matvec — both must fail loudly, not silently misbehave."""
+    """onthefly has no lattice-form pieces matvec — it must fail loudly,
+    not silently misbehave."""
     import mf_data_locality_tpu.ops.laplace_pallas as lp
 
     potf = bp4.build(6, 2, dtype=jnp.float64, backend="pallas",
                      precision="highest", windowing="pieces",
-                     metric="onthefly", factor="twostage")
+                     metric="onthefly")
     lataxis = potf.layout.n_nodes_axis
     b_lat = potf.b.reshape((3,) + lataxis)
-    prec_lat = potf.inv_diag.reshape((1,) + lataxis)
-    with pytest.raises(ValueError, match="twostage"):
-        cg_fused.fused_merged_cg_solve(potf.op, lataxis, b_lat, prec_lat)
     with pytest.raises(ValueError, match="onthefly"):
         lp.apply_lattice_pieces(potf.op, b_lat)
+
+
+@pytest.mark.parametrize("s,p", [(6, 3), (4, 5)])
+def test_onthefly_twostage_matches_precomputed(s, p):
+    """metric='onthefly' under the twostage factorization: the per-qz
+    Jacobian rebuild concatenated into the (q^2, qB) twostage metric
+    layout must reproduce the streamed metric's solve (p=5 exercises the
+    q^2 row padding: 49 -> 56)."""
+    problem, lataxis, b_lat, prec_lat = _setup(s, p)
+    pb0 = bp4.build(s, p, dtype=jnp.float64, backend="pallas",
+                    precision="highest", windowing="pieces",
+                    factor="twostage")
+    pb1 = bp4.build(s, p, dtype=jnp.float64, backend="pallas",
+                    precision="highest", windowing="pieces",
+                    factor="twostage", metric="onthefly")
+    r0 = cg_fused.fused_merged_cg_solve(pb0.op, lataxis, b_lat, prec_lat)
+    r1 = cg_fused.fused_merged_cg_solve(pb1.op, lataxis, b_lat, prec_lat)
+    assert int(r1.n_iterations) == int(r0.n_iterations)
+    xr = np.asarray(r0.x)
+    np.testing.assert_allclose(np.asarray(r1.x), xr,
+                               atol=1e-10 * max(1.0, np.abs(xr).max()))
 
 
 def test_fused_x0_start_onthefly():
