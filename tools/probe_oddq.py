@@ -41,27 +41,31 @@ def main():
     from mf_data_locality_tpu.utils import timing
 
     bw = timing.measure_hbm_bandwidth()
-    log(f"# odd-q onthefly (padded) A/B  backend={jax.default_backend()}  "
-        f"bw={bw/1e9:.0f} GB/s  split2m, factor=dense")
-    log("#  p |  s | metric      | time/it us | GDoF/s/it | time/mv us | "
-        "itCG")
-    for p, s in ((3, 14), (5, 12)):
+    log(f"# odd-q (padded) + twostage onthefly A/B  "
+        f"backend={jax.default_backend()}  bw={bw/1e9:.0f} GB/s  split2m")
+    log("#  p |  s | factor   | metric      | time/it us | GDoF/s/it | "
+        "time/mv us | itCG")
+    cases = [(3, 14, "dense"), (5, 12, "dense"),      # odd-q padding A/B
+             (5, 12, "twostage"), (6, 12, "twostage"),  # production p>=5
+             (9, 10, "twostage")]
+    for p, s, factor in cases:
         for metric in ("precomputed", "onthefly"):
             try:
                 pb = bp4.build(s, p, dtype=jnp.float32, backend="pallas",
                                precision="split2m", windowing="pieces",
-                               factor="dense", metric=metric)
+                               factor=factor, metric=metric)
                 r = run_one(p, s, solver="fused", dtype=jnp.float32,
                             backend="pallas", precision="split2m",
-                            windowing="pieces", factor="dense",
+                            windowing="pieces", factor=factor,
                             solve_repeats=2, matvec_repeats=2,
                             matvec_inner=50, problem=pb)
-                log(f"  {p:2d} | {s:2d} | {metric:11s} | "
+                log(f"  {p:2d} | {s:2d} | {factor:8s} | {metric:11s} | "
                     f"{r.time_per_it*1e6:10.1f} | "
                     f"{r.dofs_per_s_per_it/1e9:9.2f} | "
                     f"{r.time_per_matvec*1e6:10.1f} | {r.n_iterations}")
             except Exception:
-                log(f"  {p:2d} | {s:2d} | {metric:11s} | FAILED")
+                log(f"  {p:2d} | {s:2d} | {factor:8s} | {metric:11s} | "
+                    "FAILED")
                 log(traceback.format_exc())
     log("# odd-q probe done")
 
