@@ -32,9 +32,14 @@ for the whole solve; the kernel substitutes zeros for the +1 plane of the
 last layer and the final lattice assembly appends a zero plane.
 
 Per-iteration HBM traffic: read x, g, d, h, P (+ (p+1)/p re-read of the
-overlap plane) + metric; write x', g', d', h — ~9 piece-words/DoF + metric,
-the reference's single-sweep traffic model (BASELINE.md), with zero
-windowing-wrapper traffic.
+overlap plane) + geometry; write x', g', d', h — ~9 piece-words/DoF +
+geometry, the reference's single-sweep traffic model (BASELINE.md), with
+zero windowing-wrapper traffic.  Geometry comes in two kernel-level
+modes (``laplace_pallas.make_pallas_operator(metric=...)``): the streamed
+precomputed 6 q^3-word metric, or the reference's own on-the-fly rebuild
+from 24 trilinear coefficients/cell (:func:`_metric_onthefly` — measured
+FASTER on even-q degrees and 27-54x lighter in memory,
+tools/PROBE_ONTHEFLY.txt).
 """
 
 from __future__ import annotations
