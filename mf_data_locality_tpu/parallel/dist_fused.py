@@ -261,11 +261,13 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
 
 def build_dist_fused_2d(s: int, degree: int, mesh_shape: tuple[int, int],
                         dtype=jnp.float32, precision: str = "highest",
-                        devices=None, box=None):
+                        devices=None, box=None,
+                        metric: str = "precomputed"):
     """Build the 2D (z, y) problem for the fused solver."""
     return dist.build_distributed_2d(
         s, degree, mesh_shape, dtype=dtype, backend="pallas",
-        precision=precision, windowing="pieces", devices=devices, box=box)
+        precision=precision, windowing="pieces", devices=devices, box=box,
+        metric=metric)
 
 
 def solve_fused_2d(dp: dist.DistributedBP4_2D, mesh: Mesh,
@@ -465,11 +467,13 @@ def _solve_local_2d(op, inv_diag, b, mesh_shape, ncz_g, ncy_g,
 def build_dist_fused_3d(s: int, degree: int,
                         mesh_shape: tuple[int, int, int],
                         dtype=jnp.float32, precision: str = "highest",
-                        devices=None, box=None):
+                        devices=None, box=None,
+                        metric: str = "precomputed"):
     """Build the 3D (z, y, x) problem for the fused solver."""
     return dist.build_distributed_3d(
         s, degree, mesh_shape, dtype=dtype, backend="pallas",
-        precision=precision, windowing="pieces", devices=devices, box=box)
+        precision=precision, windowing="pieces", devices=devices, box=box,
+        metric=metric)
 
 
 def solve_fused_3d(dp: dist.DistributedBP4_3D, mesh: Mesh,

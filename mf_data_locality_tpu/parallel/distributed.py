@@ -523,7 +523,8 @@ def build_distributed_2d(s: int, degree: int, mesh_shape: tuple[int, int],
                          n_components: int = 3, devices=None,
                          box: BoxMesh | None = None,
                          precision: str = "highest",
-                         windowing: str = "reshape"
+                         windowing: str = "reshape",
+                         metric: str = "precomputed"
                          ) -> tuple[DistributedBP4_2D, Mesh]:
     """Partition BP4 over a 2D (z, y) device mesh.
 
@@ -609,7 +610,8 @@ def build_distributed_2d(s: int, degree: int, mesh_shape: tuple[int, int],
                 blk = ncy_loc * ncx if windowing == "pieces" else None
                 op = laplace_pallas.make_pallas_operator(
                     sl_layout, dtype=dtype, precision=precision,
-                    windowing=windowing, metric="deferred", block=blk)
+                    windowing=windowing, block=blk,
+                    metric="deferred" if metric == "precomputed" else metric)
                 co_k = co.reshape(-1, 8, 3).transpose(2, 1, 0)
                 op = replace_coeffs_pallas_raw(op, co_k, msk, dtype)
             else:
@@ -743,7 +745,8 @@ def build_distributed_3d(s: int, degree: int,
                          n_components: int = 3, devices=None,
                          box: BoxMesh | None = None,
                          precision: str = "highest",
-                         windowing: str = "reshape"
+                         windowing: str = "reshape",
+                         metric: str = "precomputed"
                          ) -> tuple[DistributedBP4_3D, Mesh]:
     """Partition BP4 over a full 3D device mesh (all three lattice axes).
 
@@ -828,7 +831,8 @@ def build_distributed_3d(s: int, degree: int,
             blk = loc[1] * loc[2] if windowing == "pieces" else None
             op = laplace_pallas.make_pallas_operator(
                 sl_layout, dtype=dtype, precision=precision,
-                windowing=windowing, metric="deferred", block=blk)
+                windowing=windowing, block=blk,
+                metric="deferred" if metric == "precomputed" else metric)
             co_k = co.reshape(-1, 8, 3).transpose(2, 1, 0)
             return replace_coeffs_pallas_raw(op, co_k, msk, dtype)
         op = laplace_structured.make_structured_operator(sl_layout,

@@ -226,3 +226,28 @@ def test_dist_fused_onthefly_matches_single(s, p, D):
     xr = np.asarray(ref.x)
     np.testing.assert_allclose(xg, xr,
                                atol=1e-11 * max(1.0, np.abs(xr).max()))
+
+
+def test_dist_fused_2d_3d_onthefly_matches_single():
+    """2D (z, y) and 3D (z, y, x) fused decompositions with
+    metric='onthefly' == single-device f64 reference."""
+    s, p = 6, 2
+    ref, lataxis = _single(s, p)
+    xr = np.asarray(ref.x)
+    dp2, mesh2 = dist_fused.build_dist_fused_2d(s, p, (2, 2),
+                                                dtype=jnp.float64,
+                                                metric="onthefly")
+    r2 = dist_fused.solve_fused_2d(dp2, mesh2)
+    assert int(r2.n_iterations) == int(ref.n_iterations)
+    xg2 = dist.gather_global_2d(r2.x, nz=lataxis[0], ny=lataxis[1])
+    np.testing.assert_allclose(xg2, xr,
+                               atol=1e-11 * max(1.0, np.abs(xr).max()))
+    dp3, mesh3 = dist_fused.build_dist_fused_3d(s, p, (2, 2, 2),
+                                                dtype=jnp.float64,
+                                                metric="onthefly")
+    r3 = dist_fused.solve_fused_3d(dp3, mesh3)
+    assert int(r3.n_iterations) == int(ref.n_iterations)
+    xg3 = dist.gather_global_3d(r3.x, nz=lataxis[0], ny=lataxis[1],
+                                nx=lataxis[2])
+    np.testing.assert_allclose(xg3, xr,
+                               atol=1e-11 * max(1.0, np.abs(xr).max()))
