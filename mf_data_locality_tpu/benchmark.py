@@ -64,7 +64,7 @@ class RunResult:
 
 
 def resolve_metric(metric: str, solver: str, windowing: str, factor: str,
-                   degree: int) -> str:
+                   degree: int, n_q: int | None = None) -> str:
     """Resolve metric='auto' to the measured-optimal geometry mode.
 
     'onthefly' (in-kernel Jacobian rebuild from 24 coefficients/cell —
@@ -78,7 +78,10 @@ def resolve_metric(metric: str, solver: str, windowing: str, factor: str,
     """
     if metric != "auto":
         return metric
-    q = degree + 2
+    # the sublane-alignment test must see the ACTUAL quadrature count if a
+    # caller overrides it (make_pallas_operator supports n_q); q = p+2 is
+    # only the reference default (benchmark.h:290-313)
+    q = n_q if n_q is not None else degree + 2
     if (solver == "fused" and windowing == "pieces" and factor == "dense"
             and q ** 3 % 8 == 0):
         return "onthefly"
@@ -122,6 +125,21 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
                             precision=precision, windowing=windowing,
                             metric_dtype=metric_dtype, factor=factor,
                             metric=metric)
+    elif backend == "pallas":
+        # a prebuilt problem must match the configuration the timings will
+        # be labeled with — a mismatch would silently report the wrong
+        # factor/geometry/precision column
+        pop = problem.op
+        if getattr(pop, "factor", factor) != factor:
+            raise ValueError(f"prebuilt problem has factor="
+                             f"{pop.factor!r}, call resolved {factor!r}")
+        if (pop.gmetric is None) != (metric == "onthefly"):
+            raise ValueError(f"prebuilt problem geometry "
+                             f"({'onthefly' if pop.gmetric is None else 'precomputed'}) "
+                             f"!= call's resolved metric {metric!r}")
+        if getattr(pop, "precision", precision) != precision:
+            raise ValueError(f"prebuilt problem has precision="
+                             f"{pop.precision!r}, call passed {precision!r}")
     vmult_fn = _VMULT[backend]
     if verbose:
         # reference verbose mode: diagonal norm + setup time
@@ -328,7 +346,12 @@ def main(argv: list[str] | None = None) -> None:
                          "HBM at p=4 — pieces windowing, dense "
                          "factorization); auto: onthefly where it measures "
                          "faster (fused + dense + even q, e.g. p=2, 4: "
-                         "-4%%/-20%% time/it, tools/PROBE_ONTHEFLY.txt)")
+                         "-4%%/-20%% time/it, tools/PROBE_ONTHEFLY.txt). "
+                         "NOTE: with --precision highest, the onthefly "
+                         "Jacobian matmul still runs as a split3 hi/lo "
+                         "bf16 pair on TPU (~1e-7-class geometry "
+                         "perturbation vs exact f32) — Mosaic has no "
+                         "exact-f32 matmul inside this kernel")
     ap.add_argument("--layers-per-step", type=int, default=1,
                     help="z-cell layers per fused-kernel grid step")
     ap.add_argument("--factor", choices=["auto", "dense", "twostage"],

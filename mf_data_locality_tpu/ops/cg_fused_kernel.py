@@ -1177,6 +1177,13 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     i0, i1 = step_range if step_range is not None else (0, nsteps)
     if not (0 <= i0 < i1 <= nsteps):
         raise ValueError(f"step_range {step_range} outside [0, {nsteps}]")
+    if step_range is not None and not alias:
+        # partial sweeps only write the executed grid steps; without
+        # aliased in-place state the untouched output blocks are
+        # uninitialized pallas buffers, not the input values
+        raise ValueError("step_range requires alias=True (partial-sweep "
+                         "results are only meaningful with in-place "
+                         "aliased state)")
 
     def main_spec(c, lanes=Bs):
         return pl.BlockSpec((c, L * p, Rs, lanes),

@@ -102,10 +102,15 @@ def renumber_operator(op: "LaplaceOperatorData",
     mask2 = rn.permute_nodes(np.asarray(op.unconstrained), np.asarray(perm))
     n_nodes = op.unconstrained.shape[0]
     pos, valid = _transposed_scatter_map(gm2, n_nodes)
+    # an operator built without the transposed scatter map (fields default
+    # to None in the NamedTuple) gets both rebuilt here rather than an
+    # AttributeError on scatter_valid.dtype
+    vdtype = (op.scatter_valid.dtype if op.scatter_valid is not None
+              else op.unconstrained.dtype)
     return op._replace(gather=jnp.asarray(gm2),
                        unconstrained=jnp.asarray(mask2, op.unconstrained.dtype),
                        scatter_pos=jnp.asarray(pos),
-                       scatter_valid=jnp.asarray(valid, op.scatter_valid.dtype))
+                       scatter_valid=jnp.asarray(valid, vdtype))
 
 
 def _transposed_scatter_map(gather_map: np.ndarray, n_nodes: int

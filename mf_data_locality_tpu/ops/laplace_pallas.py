@@ -253,7 +253,12 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
     windowing="pieces" the rebuild happens inside the piece-resident
     kernels (``cg_fused_kernel._metric_onthefly``; dense factorization
     only) — 54x less geometry HBM at p=4 for ~100 extra VPU ops per
-    q-point-lane.  ``precision``: "highest" (exact f32 matmuls),
+    q-point-lane.  CAVEAT: on TPU the in-kernel Jacobian matmul always
+    runs as a split3 bf16 hi/lo pair, so metric="onthefly" +
+    precision="highest" yields ~1e-7-class geometry perturbation instead
+    of exact-f32 geometry (Mosaic offers no exact-f32 matmul here; f64
+    interpret mode keeps exact accumulation).
+    ``precision``: "highest" (exact f32 matmuls),
     "split3" (manual 3-product bf16 hi/lo split, ~1e-5 relative operator
     error, f32-HIGH class), or "bf16" (single-pass, ~1e-3).
     ``metric_dtype``: storage dtype of the precomputed metric stream
