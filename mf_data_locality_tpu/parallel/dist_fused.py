@@ -41,6 +41,7 @@ from mf_data_locality_tpu.solvers.cg import SolveResult
 AXIS = dist.AXIS
 AXIS_Y = dist.AXIS_Y
 AXIS_X = dist.AXIS_X
+AXIS_DCN = "dcn"  # outer (slice) axis of 2-level slice-of-slices meshes
 
 
 def build_dist_fused(s: int, degree: int, n_devices: int | None = None,
@@ -53,12 +54,44 @@ def build_dist_fused(s: int, degree: int, n_devices: int | None = None,
         metric=metric)
 
 
+def build_dist_fused_2level(s: int, degree: int,
+                            mesh_shape: tuple[int, int],
+                            dtype=jnp.float32, precision: str = "highest",
+                            devices=None, box=None,
+                            metric: str = "precomputed"):
+    """z-slab problem over a 2-level (slice x chip) = (DCN, ICI) mesh.
+
+    Same decomposition as :func:`build_dist_fused` over
+    ``n_slices * chips_per_slice`` devices, but the returned
+    ``jax.sharding.Mesh`` has TWO named axes ``(AXIS_DCN, AXIS)`` laid out
+    row-major, so slab k sits on slice k // chips_per_slice.  Run it with
+    ``solve_fused(dp, mesh, axis=(AXIS_DCN, AXIS))``: interior slab halos
+    ride ICI, the halos between slab chips_per_slice-1 and
+    chips_per_slice cross the slice (DCN) boundary, and the single
+    7-scalar psum per iteration reduces over both axes — the TPU analog
+    of the reference's MPI ranks spanning multiple nodes
+    (``common_code/benchmark.h:79``; SURVEY §5 "ICI within a slice, DCN
+    across slices").  On real hardware the outer axis maps to a
+    multi-slice ``jax.make_mesh`` axis over DCN; here any device list
+    (including virtual CPU devices) exercises the identical program.
+    """
+    import numpy as np
+
+    n_slices, chips = mesh_shape
+    dp, mesh1 = build_dist_fused(s, degree, n_devices=n_slices * chips,
+                                 dtype=dtype, precision=precision,
+                                 devices=devices, box=box, metric=metric)
+    devs = np.asarray(mesh1.devices).reshape(mesh_shape)
+    return dp, Mesh(devs, (AXIS_DCN, AXIS))
+
+
 def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
                 x0: jax.Array | None = None,
                 max_iter: int = 100, abs_tol: float = 1e-15,
                 rel_tol: float = 1e-8, fold: bool = False,
                 compact: bool = True, overlap: bool = False,
-                interpret: bool | None = None) -> SolveResult:
+                interpret: bool | None = None,
+                axis=AXIS) -> SolveResult:
     """Distributed fused-kernel merged-CG solve.
 
     ``x0``: optional (D, C, Pp+1, Ny, Nx) sharded start vector — handled by
@@ -75,6 +108,14 @@ def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
     pre/post-ghost range partitioning (``poisson_operator.h:339-364``).
     Bitwise-identical iteration algebra (same layer order, same carry
     chain); requires >= 2 local z-cell layers (falls back otherwise).
+
+    ``axis``: the mesh axis (or TUPLE of axes, flattened row-major) the
+    z slabs are sharded over.  A 2-level ``(AXIS_DCN, AXIS)`` tuple runs
+    the same decomposition over a slice-of-slices mesh — slab neighbors
+    that straddle a slice boundary exchange halos across the DCN axis and
+    the 7-scalar psum spans both axes (the reference's arbitrary MPI rank
+    counts across nodes, ``benchmark.h:79``; SURVEY §5 "ICI within a
+    slice, DCN across slices").
     """
     n_dev = dp.n_devices
 
@@ -91,20 +132,24 @@ def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
         out = _solve_local(op, inv_diag[0], b_loc, n_dev, ncz_g,
                            max_iter=max_iter, abs_tol=abs_tol,
                            rel_tol=rel_tol, fold=fold, compact=compact,
-                           overlap=overlap, interpret=interpret)
+                           overlap=overlap, interpret=interpret, axis=axis)
         if x0_ is not None:
             out = (out[0] + x0_,) + out[1:]
         return out
 
+    if x0 is not None and axis != AXIS:
+        # dist_vmult's halo exchange is wired to the 1-level AXIS name
+        raise ValueError("x0 starts are not supported on a multi-level "
+                         "axis; shift to the residual equation externally")
     if x0 is None:
         fn = jax.shard_map(lambda o, i, b: body(o, i, b, None), mesh=mesh,
-                           in_specs=(P(AXIS),) * 3,
-                           out_specs=(P(AXIS), P(), P(), P(), P()),
+                           in_specs=(P(axis),) * 3,
+                           out_specs=(P(axis), P(), P(), P(), P()),
                            check_vma=False)
         args = (dp.op_stack, dp.inv_diag, dp.b)
     else:
-        fn = jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS),) * 4,
-                           out_specs=(P(AXIS), P(), P(), P(), P()),
+        fn = jax.shard_map(body, mesh=mesh, in_specs=(P(axis),) * 4,
+                           out_specs=(P(axis), P(), P(), P(), P()),
                            check_vma=False)
         args = (dp.op_stack, dp.inv_diag, dp.b, x0)
     x, it, res_norm, hist, conv = jax.jit(fn)(*args)
@@ -112,7 +157,7 @@ def solve_fused(dp: dist.DistributedBP4, mesh: Mesh,
 
 
 def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
-                 fold, compact, interpret, overlap=False):
+                 fold, compact, interpret, overlap=False, axis=AXIS):
     """Per-device solve body (inside shard_map).
 
     ``inv_diag``: (1, Pp+1, Ny, Nx); ``b``: (C, Pp+1, Ny, Nx) lattice slabs
@@ -130,7 +175,7 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
     dtype = b.dtype
     acc = jnp.float32 if dtype == jnp.bfloat16 else dtype
 
-    didx = jax.lax.axis_index(AXIS) if n_dev > 1 else 0
+    didx = jax.lax.axis_index(axis) if n_dev > 1 else 0
     z0 = didx * ncz_loc
 
     down = [(d, d - 1) for d in range(1, n_dev)]  # receive from d+1
@@ -140,7 +185,7 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
         """Neighbor-above's plane 0 (zeros on the last device)."""
         if n_dev == 1:
             return jnp.zeros_like(a[:, :1])
-        return jax.lax.ppermute(a[:, :1], AXIS, down)
+        return jax.lax.ppermute(a[:, :1], axis, down)
 
     prec_pieces = fk.to_piece_state(inv_diag[:1].astype(acc), p)
     g0 = fk.to_piece_state(-b.astype(acc), p)
@@ -151,7 +196,7 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
     if fold:
         g0 = fk.fold_state(g0)
     res0 = jnp.sqrt(jax.lax.psum(
-        jnp.sum(g0[:, :, :p2].astype(acc) ** 2), AXIS))
+        jnp.sum(g0[:, :, :p2].astype(acc) ** 2), axis))
     tol = jnp.maximum(jnp.asarray(abs_tol, acc), rel_tol * res0)
     history = jnp.full((max_iter + 1,), jnp.nan, dtype=acc).at[0].set(res0)
 
@@ -203,7 +248,7 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
         # z-carry add-back (the compress ppermute) + exact dot corrections:
         # only the five h-dependent sums change, by single-plane deltas
         carry_in = (jnp.zeros_like(carry) if n_dev == 1
-                    else jax.lax.ppermute(carry, AXIS, up))
+                    else jax.lax.ppermute(carry, axis, up))
         h0_old = h[:, :1].astype(acc)
         h0_new = (h0_old + carry_in).astype(dtype)
         h = jnp.concatenate([h0_new, h[:, 1:]], axis=1)
@@ -217,7 +262,7 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
         s = s.at[4].add(jnp.sum(gm0 * (P0 * delta)))   # g.Ph
         s = s.at[5].add(jnp.sum(P0 * hsum * delta))    # h.Ph
         # the ONE allreduce per iteration (7 fused scalars)
-        s = jax.lax.psum(s, AXIS)
+        s = jax.lax.psum(s, axis)
         scal = jnp.stack(fk.scalar_recurrence(s, scal[0], scal[1], scal[4]))
         res = jnp.sqrt(jnp.maximum(scal[5], 0.0))
         return (x, g, d, h, zg, zd, zh, scal, it, res,
@@ -243,7 +288,7 @@ def _solve_local(op, inv_diag, b, n_dev, ncz_g, max_iter, abs_tol, rel_tol,
     # neighbor-above's plane 0; zero on the last device = global top) so
     # the result is gather_global / dist_vmult compatible
     top = (jnp.zeros_like(x_lat[:, :1]) if n_dev == 1
-           else jax.lax.ppermute(x_lat[:, :1], AXIS, down))
+           else jax.lax.ppermute(x_lat[:, :1], axis, down))
     x_lat = jnp.concatenate([x_lat[:, :-1], top], axis=1)
     return (x_lat[None], it, res, history, res <= tol)
 

@@ -44,6 +44,34 @@ def test_dist_fused_matches_single(s, p, D):
                                rtol=1e-6, atol=1e-8 * float(ref.res_history[0]))
 
 
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_dist_fused_2level_mesh_matches_single(shape):
+    """2-level (DCN x ICI) slice-of-slices mesh == 1 device, exactly.
+
+    The z slabs shard over BOTH named axes (flattened row-major): slab
+    halos at slice boundaries cross the outer (DCN) axis and the single
+    7-scalar psum spans both axes — the capability analog of the
+    reference's MPI ranks spanning nodes (``benchmark.h:79``).
+    """
+    s, p = 6, 2
+    ref, lataxis = _single(s, p)
+    dp, mesh = dist_fused.build_dist_fused_2level(s, p, mesh_shape=shape,
+                                                  dtype=jnp.float64)
+    assert mesh.axis_names == (dist_fused.AXIS_DCN, dist_fused.AXIS)
+    res = dist_fused.solve_fused(dp, mesh,
+                                 axis=(dist_fused.AXIS_DCN, dist_fused.AXIS))
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    assert bool(res.converged)
+    xg = dist.gather_global(res.x, nz=lataxis[0])
+    xr = np.asarray(ref.x)
+    np.testing.assert_allclose(xg, xr,
+                               atol=1e-11 * max(1.0, np.abs(xr).max()))
+    n = int(ref.n_iterations) + 1
+    np.testing.assert_allclose(np.asarray(res.res_history)[:n],
+                               np.asarray(ref.res_history)[:n],
+                               rtol=1e-6, atol=1e-8 * float(ref.res_history[0]))
+
+
 @pytest.mark.parametrize("D", [3, 5])
 def test_dist_fused_nondivisible_devices(D):
     """ncz % D != 0: trailing dummy layers must not perturb the solve."""
