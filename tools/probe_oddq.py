@@ -57,6 +57,7 @@ def main():
                 r = run_one(p, s, solver="fused", dtype=jnp.float32,
                             backend="pallas", precision="split2m",
                             windowing="pieces", factor=factor,
+                            metric=metric,
                             solve_repeats=2, matvec_repeats=2,
                             matvec_inner=50, problem=pb)
                 log(f"  {p:2d} | {s:2d} | {factor:8s} | {metric:11s} | "
