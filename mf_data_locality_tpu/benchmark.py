@@ -259,6 +259,16 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
         dp, mesh = dist_fused.build_dist_fused(
             s, degree, n_devices=n_devices, dtype=dtype, precision=precision)
         do_solve = lambda: dist_fused.solve_fused(dp, mesh)  # noqa: E731
+    elif backend == "general":
+        # gather-map backend decomposed over cell chunks with rank-set
+        # halo grouping (renumber_dofs_for_mf.h:492-535 capability)
+        from mf_data_locality_tpu.parallel import dist_general
+
+        dp, mesh = dist_general.build_dist_general(s, degree,
+                                                   n_devices=n_devices,
+                                                   dtype=dtype)
+        do_solve = lambda: dist_general.solve_general(  # noqa: E731
+            dp, mesh, solver=solver)
     else:
         dp, mesh = dist.build_distributed(s, degree, n_devices=n_devices,
                                           dtype=dtype, backend=backend,
@@ -272,10 +282,18 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
         lambda: do_solve().res_norm,
         repeats=solve_repeats, warmup=0)
 
-    mv = dist.dist_matvec_jit(dp, mesh, overlap=overlap)
-    matvec_time = timing.time_scan_fetch(
-        lambda u: mv(dp.op_stack, u), dp.b,
-        inner=matvec_inner, repeats=matvec_repeats)
+    if backend == "general" and solver != "fused":
+        from mf_data_locality_tpu.parallel import dist_general
+
+        mv = dist_general.dist_matvec_jit(dp, mesh)
+        matvec_time = timing.time_scan_fetch(
+            lambda u: mv(dp.op_stack, dp.export_idx, dp.import_idx, u),
+            dp.b, inner=matvec_inner, repeats=matvec_repeats)
+    else:
+        mv = dist.dist_matvec_jit(dp, mesh, overlap=overlap)
+        matvec_time = timing.time_scan_fetch(
+            lambda u: mv(dp.op_stack, u), dp.b,
+            inner=matvec_inner, repeats=matvec_repeats)
 
     return RunResult(
         degree=degree, n_q=degree + 2,

@@ -73,6 +73,7 @@ class DistributedGeneral:
     export_idx: jax.Array  # (D, n_offsets, E): local ids read by rank d+off
     import_idx: jax.Array  # (D, n_offsets, E): ghost ids owned by rank d-off
     n_dofs: int = field(metadata=dict(static=True), default=0)
+    n_cells: int = field(metadata=dict(static=True), default=0)
     n_devices: int = field(metadata=dict(static=True), default=1)
     offsets: tuple = field(metadata=dict(static=True), default=(1,))
     """Distinct owner→reader rank distances present in the decomposition."""
@@ -265,6 +266,7 @@ def build_dist_general(s: int, degree: int, n_devices: int | None = None,
         export_idx=jax.device_put(jnp.asarray(np.stack(exps)), sharding),
         import_idx=jax.device_put(jnp.asarray(np.stack(imps)), sharding),
         n_dofs=layout.n_nodes * n_components,
+        n_cells=layout.mesh.n_cells,
         n_devices=D,
         offsets=offsets,
     )
@@ -303,6 +305,26 @@ def dist_vmult_general(op_local, u: jax.Array, export_idx: jax.Array,
     if constrained_identity:
         v = v + u * (1.0 - mask)
     return v
+
+
+def dist_matvec_jit(dist: DistributedGeneral, mesh: Mesh,
+                    constrained_identity: bool = True):
+    """Jitted distributed general-backend matvec on sharded local vectors.
+
+    Harness hook for the 50-matvec timing protocol (``benchmark.h:204-215``).
+    """
+    n_dev, offsets = dist.n_devices, dist.offsets
+
+    def body(op_stack, exp_i, imp_i, u):
+        op_local = jax.tree.map(lambda x: x[0], op_stack)
+        return dist_vmult_general(op_local, u[0], exp_i[0], imp_i[0],
+                                  n_dev=n_dev, offsets=offsets,
+                                  constrained_identity=constrained_identity
+                                  )[None]
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS),) * 4,
+                       out_specs=P(AXIS), check_vma=False)
+    return jax.jit(fn)
 
 
 def solve_general(dist: DistributedGeneral, mesh: Mesh,

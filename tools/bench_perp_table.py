@@ -130,6 +130,7 @@ def main():
             r = run_one(p, s, solver="fused", dtype=vdt,
                         backend="pallas", precision=args.precision,
                         windowing="pieces", metric_dtype=mdt,
+                        factor=factor, metric=gm,
                         x_skip=args.x_skip, prec_dtype=pdt,
                         solve_repeats=2, matvec_repeats=2, matvec_inner=50,
                         problem=pb)
