@@ -95,7 +95,15 @@ def main():
                                  (5, 12, "twostage", "onthefly"),
                                  (9, 10, "twostage", "onthefly"),
                                  (4, 13, "dense", "onthefly"),
-                                 (6, 12, "twostage", "onthefly")):
+                                 (6, 12, "twostage", "onthefly"),
+                                 # dense-vs-twostage under onthefly at low
+                                 # degrees (twostage was only measured to
+                                 # win at p>=5 with the PREcomputed metric;
+                                 # the onthefly combination may move the
+                                 # crossover — headline p=4 candidate)
+                                 (2, 14, "twostage", "onthefly"),
+                                 (3, 14, "twostage", "onthefly"),
+                                 (4, 13, "twostage", "onthefly")):
         try:
             pb = bp4.build(s, p, dtype=jnp.float32, backend="pallas",
                            precision="split2m", windowing="pieces",
