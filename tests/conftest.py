@@ -24,7 +24,8 @@ jax.config.update("jax_enable_x64", True)
 
 # ---------------------------------------------------------------------------
 # Slow-test partition: plain `pytest -q` runs a fast representative subset
-# (< 5 min on a single CPU); `pytest -q -m slow` runs the heavy remainder
+# (~5-6 min warm-cache on an 8-vCPU host; first cold run adds ~2 min of
+# XLA compiles); `pytest -q -m slow` runs the heavy remainder
 # (larger sizes / extra parametrizations whose logic the fast set already
 # covers once).  `pytest -q -m ""` runs everything.
 # ---------------------------------------------------------------------------
@@ -149,6 +150,12 @@ _SLOW_PATTERNS = (
     "test_delayed_x_fixup_at_truncation[4",         # [1] stays
     "test_x_skip_exact[6-2",                        # off-by-default option
     "test_prec_dtype_bf16_converges",               # off-by-default option
+    # round-4 repartition: heaviest onthefly parametrizations; [6-2]/[6-3]
+    # representatives (even-q dense + odd-q twostage rebuild) stay fast
+    "test_onthefly_metric_matches_precomputed[4-5",
+    "test_onthefly_twostage_matches_precomputed[4-5",
+    # 2D/3D x onthefly composition; 1D onthefly + 2D/3D precomputed stay
+    "test_dist_fused_2d_3d_onthefly_matches_single",
 )
 
 
