@@ -40,9 +40,10 @@ def main() -> None:
     # +1..+2 of the f64 reference and never worse than split3
     # (PARITY.md "On-chip convergence evidence"; tools/R3_BATCH1.txt).
     # metric='auto' resolves to the in-kernel on-the-fly Jacobian rebuild
-    # at p=4 (even q): measured -20% time/it vs the streamed precomputed
-    # metric at 54x less geometry memory (tools/PROBE_ONTHEFLY.txt) — the
-    # reference's own data-locality trade, poisson_operator.h:470-520.
+    # (even-q dense degrees + all twostage degrees on this rung): measured
+    # -12..-20% time/it at p=4 vs the streamed precomputed metric at 54x
+    # less geometry memory (tools/PROBE_ONTHEFLY.txt, PROBE_DISPATCH.txt)
+    # — the reference's own data-locality trade, poisson_operator.h:470-520.
     r = run_one(degree, s, solver="fused", dtype=jnp.float32,
                 backend="pallas", precision="split2m", windowing="pieces",
                 metric="auto",
@@ -64,13 +65,12 @@ def main() -> None:
     # model above is the REFERENCE's — it holds there because the reference
     # rebuilds the Jacobian per q-point from compressed per-cell
     # coefficients (poisson_operator.h:470-520), making geometry ~0.3
-    # words/DoF.  With metric='auto' the p=4 headline now uses the same
-    # trade in-kernel (24 geometry words/cell); odd-q degrees stream the
-    # precomputed 6q^3-word metric instead (sublane misalignment makes the
-    # rebuild 2x slower there).  Per-cell streamed bytes: x,g r+w f32 +
-    # d,h r+w + Z-planes + P + geometry.
+    # words/DoF.  With metric='auto' the p=4 headline uses the same trade
+    # in-kernel (24 geometry words/cell; q=6 is sublane-even — see
+    # benchmark.resolve_metric for the full dispatch).  Per-cell
+    # streamed bytes: x,g r+w f32 + d,h r+w + Z-planes + P + geometry.
     nc, q = 2 ** s, degree + 2
-    geom_bytes = 96 if q ** 3 % 8 == 0 else 24 * q ** 3
+    geom_bytes = 96  # 24 f32 trilinear coefficients per cell
     stream_bytes = nc * (3 * degree ** 3 * 32 + 3 * degree ** 2 * 24
                          + 4 * degree ** 3 + geom_bytes)
     frac_str = (stream_bytes / bw) / r.time_per_it

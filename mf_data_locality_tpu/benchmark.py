@@ -64,27 +64,55 @@ class RunResult:
 
 
 def resolve_metric(metric: str, solver: str, windowing: str, factor: str,
-                   degree: int, n_q: int | None = None) -> str:
+                   degree: int, n_q: int | None = None,
+                   precision: str = "split2m") -> str:
     """Resolve metric='auto' to the measured-optimal geometry mode.
 
     'onthefly' (in-kernel Jacobian rebuild from 24 coefficients/cell —
     the reference's data-locality trade, ``poisson_operator.h:470-520``)
-    wins on the fused pieces path with dense factorization whenever the
-    q-point count q^3 is sublane-aligned (q = p+2 even): measured p=2
-    -4%, p=4 -20%, p=6-dense -25% time/iteration at 27-54x less geometry
-    memory (tools/PROBE_ONTHEFLY.txt).  Odd q leaves every (q^3, B)
-    intermediate sublane-misaligned and loses ~2x (p=3), so those
-    degrees keep the streamed precomputed metric.
+    wins on the fused pieces path at nearly every degree once odd-q
+    sublane padding (``cg_fused_kernel._pad_row_blocks``) and the
+    twostage per-qz rebuild are in: same-session A/Bs at the ladder max
+    (tools/PROBE_DISPATCH.txt, PROBE_DISPATCH2.txt, PROBE_ODDQ.txt,
+    PROBE_FOLLOWUP.txt) measure, time/iteration
+
+      - split2m: p=2 115 vs 124-139, p=4 219-243 vs 273-277, p=5..11
+        twostage 158-381 vs 274-700 -> onthefly;
+      - bf16 rung: p=2 LOSES (159 vs 132 -> keep precomputed), p=4..11
+        win (e.g. p=9 154 vs 227) -> onthefly for p >= 3 (twostage);
+      - p=1 loses slightly on both rungs (92.6 vs 96.0) -> precomputed.
+
+    CONVERGENCE carve-out: the DENSE rebuild with padded odd-q rows is
+    the one config out of its iteration class — p=3 s=9 split2m hits the
+    100-it cap unconverged vs f64's 95 while twostage+onthefly converges
+    at 97 and dense+precomputed at 96 (tools/PROBE_PRODHIST.txt,
+    PARITY.md shipping-config ladder).  Speed means nothing at +5
+    iterations, so dense + odd q keeps the precomputed stream on every
+    rung; in the factor-auto ladder this only affects p=3 (odd p >= 5
+    ship twostage, whose per-qz rebuild stays in class).
+
+    ``precision`` is the kernel matmul rung ('bf16'/'bf16sr' = the
+    reduced bf16-stream rung; callers with ``dtype=bfloat16`` should pass
+    'bf16' since split3/split2m degrade to one bf16 pass there).
+    'highest' keeps the precomputed metric: the in-kernel Jacobian matmul
+    runs as a split3 hi/lo bf16 pair on TPU (~1e-5-class geometry
+    perturbation), which would silently weaken the exact-f32 contract —
+    force --geometry onthefly to accept the trade.  ``n_q`` is the actual
+    quadrature count when a caller overrides the q = p+2 reference
+    default (benchmark.h:290-313); the dispatch is degree/rung-based
+    (padding handles any q), so it is accepted for interface stability.
     """
     if metric != "auto":
         return metric
-    # the sublane-alignment test must see the ACTUAL quadrature count if a
-    # caller overrides it (make_pallas_operator supports n_q); q = p+2 is
-    # only the reference default (benchmark.h:290-313)
-    q = n_q if n_q is not None else degree + 2
-    if (solver == "fused" and windowing == "pieces" and factor == "dense"
-            and q ** 3 % 8 == 0):
-        return "onthefly"
+    if solver == "fused" and windowing == "pieces":
+        q = n_q if n_q is not None else degree + 2
+        dense_odd_q = factor == "dense" and q % 2 == 1
+        if precision in ("bf16", "bf16sr"):
+            return ("onthefly" if degree >= 3 and not dense_odd_q
+                    else "precomputed")
+        if precision in ("split3", "split2m"):
+            return ("onthefly" if degree >= 2 and not dense_odd_q
+                    else "precomputed")
     return "precomputed"
 
 
@@ -100,17 +128,21 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
 
     ``factor="auto"`` picks the measured-optimal contraction factorization
     per degree: dense MXU matmuls for p <= 4, the two-stage form (z on the
-    VPU, 2D MXU stage) for p >= 5, where its (p+1)x FLOP cut wins
-    (tools/R3_BATCH1.txt, tools/PROBE_TWOSTAGE.txt: p=5 split3 436 -> 297
-    us/it, p=6 split3 786 -> 429, p=6 split2m 601 -> 379; p=4 dense wins).
+    VPU, 2D MXU stage) for p >= 5, where its (p+1)x FLOP cut wins — under
+    BOTH geometry modes (tools/R3_BATCH1.txt, PROBE_TWOSTAGE.txt: p=5
+    split3 436 -> 297 us/it, p=6 split2m 601 -> 379; onthefly crossover
+    PROBE_DISPATCH2.txt: twostage wins p >= 5, dense wins p <= 4).
     """
     from functools import partial
 
     if factor == "auto":
-        # twostage needs the precomputed (6q^2, qB) metric layout
         factor = ("twostage" if degree >= 5 and windowing == "pieces"
-                  and metric in ("precomputed", "auto") else "dense")
-    metric = resolve_metric(metric, solver, windowing, factor, degree)
+                  else "dense")
+    # with dtype=bf16 the streamed operands are bf16 regardless of the
+    # split flag, so the geometry dispatch must see the bf16 rung
+    eff_prec = "bf16" if dtype == jnp.bfloat16 else precision
+    metric = resolve_metric(metric, solver, windowing, factor, degree,
+                            precision=eff_prec)
 
     from mf_data_locality_tpu.models.bp4 import _VMULT
     from mf_data_locality_tpu.solvers import cg, cg_fused, cg_merged
@@ -242,7 +274,8 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
                         precision: str = "highest",
                         windowing: str = "reshape",
                         solve_repeats: int = 4, matvec_repeats: int = 2,
-                        matvec_inner: int = 50) -> RunResult:
+                        matvec_inner: int = 50,
+                        metric: str = "auto") -> RunResult:
     """Distributed solve + matvec timing over an n-device z-slab mesh.
 
     The multi-rank analog of the reference run: one 7-scalar psum per merged
@@ -256,8 +289,14 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
                              "--backend pallas --windowing pieces")
         from mf_data_locality_tpu.parallel import dist_fused
 
+        # distributed fused slabs are dense-factorization; resolve the
+        # geometry mode against that (same rule as single-device)
+        eff_prec = "bf16" if dtype == jnp.bfloat16 else precision
+        metric = resolve_metric(metric, "fused", "pieces", "dense", degree,
+                                precision=eff_prec)
         dp, mesh = dist_fused.build_dist_fused(
-            s, degree, n_devices=n_devices, dtype=dtype, precision=precision)
+            s, degree, n_devices=n_devices, dtype=dtype, precision=precision,
+            metric=metric)
         do_solve = lambda: dist_fused.solve_fused(dp, mesh)  # noqa: E731
     elif backend == "general":
         # gather-map backend decomposed over cell chunks with rank-set
@@ -360,11 +399,13 @@ def main(argv: list[str] | None = None) -> None:
                          "per q-point; onthefly: store 24 floats/cell and "
                          "rebuild the Jacobian metric per q-point in-kernel "
                          "(the reference's data-locality trade, "
-                         "poisson_operator.h:470-520; 54x less geometry "
-                         "HBM at p=4 — pieces windowing, dense "
-                         "factorization); auto: onthefly where it measures "
-                         "faster (fused + dense + even q, e.g. p=2, 4: "
-                         "-4%%/-20%% time/it, tools/PROBE_ONTHEFLY.txt). "
+                         "poisson_operator.h:470-520; 27-54x less geometry "
+                         "HBM); auto: onthefly where it measures faster "
+                         "AND stays in the f64+1..2 iteration class — "
+                         "fused pieces, p>=2 f32-class / p>=3 bf16 rung, "
+                         "except dense+odd-q whose padded rebuild is "
+                         "convergence-degraded (tools/PROBE_DISPATCH*.txt, "
+                         "PROBE_PRODHIST.txt: -10%% to -45%% time/it). "
                          "NOTE: with --precision highest, the onthefly "
                          "Jacobian matmul still runs as a split3 hi/lo "
                          "bf16 pair on TPU (~1e-7-class geometry "
@@ -403,7 +444,11 @@ def main(argv: list[str] | None = None) -> None:
                                     solver=args.solver, dtype=dtype,
                                     backend=args.backend, overlap=args.overlap,
                                     precision=args.precision,
-                                    windowing=args.windowing)
+                                    windowing=args.windowing,
+                                    metric={"auto": "auto",
+                                            "qpoint": "precomputed",
+                                            "onthefly": "onthefly"
+                                            }[args.geometry])
         else:
             md = jnp.bfloat16 if args.metric_dtype == "bf16" else None
             r = run_one(args.degree, s, solver=args.solver, dtype=dtype,

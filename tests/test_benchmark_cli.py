@@ -95,15 +95,38 @@ def test_run_one_distributed_reports_matvec_and_cells():
 
 def test_resolve_metric_auto():
     """metric='auto' picks onthefly exactly where it measured faster
-    (fused + pieces + dense factorization + even q; PROBE_ONTHEFLY.txt)."""
+    (fused + pieces, p>=2 f32-class / p>=3 bf16 rung, both factorizations;
+    PROBE_DISPATCH.txt, PROBE_DISPATCH2.txt, PROBE_ODDQ.txt)."""
     from mf_data_locality_tpu.benchmark import resolve_metric
 
     assert resolve_metric("auto", "fused", "pieces", "dense", 4) == "onthefly"
     assert resolve_metric("auto", "fused", "pieces", "dense", 2) == "onthefly"
-    # odd q: sublane-misaligned rebuild measured 2x slower
+    # dense + padded odd-q rebuild is convergence-degraded (p=3 s=9 hits
+    # the cap vs f64's 95 — PROBE_PRODHIST.txt), so it keeps the stream
     assert resolve_metric("auto", "fused", "pieces", "dense", 3) == "precomputed"
-    # twostage metric layout has no on-the-fly form
-    assert resolve_metric("auto", "fused", "pieces", "twostage", 6) == "precomputed"
+    assert resolve_metric("auto", "fused", "pieces", "dense", 5) == "precomputed"
+    # ... but an explicit even quadrature override re-enables the rebuild
+    assert resolve_metric("auto", "fused", "pieces", "dense", 3,
+                          n_q=6) == "onthefly"
+    # twostage per-qz rebuild wins at every twostage degree (p=5..11)
+    # and stays in the +1..+2 iteration class at odd q
+    assert resolve_metric("auto", "fused", "pieces", "twostage", 6) == "onthefly"
+    assert resolve_metric("auto", "fused", "pieces", "twostage", 5) == "onthefly"
+    # p=1 measured slightly slower on both rungs
+    assert resolve_metric("auto", "fused", "pieces", "dense", 1) == "precomputed"
+    # bf16 rung: p=2 keeps the streamed metric (onthefly measured 159 vs 132)
+    assert resolve_metric("auto", "fused", "pieces", "dense", 2,
+                          precision="bf16") == "precomputed"
+    assert resolve_metric("auto", "fused", "pieces", "dense", 3,
+                          precision="bf16") == "precomputed"
+    assert resolve_metric("auto", "fused", "pieces", "twostage", 9,
+                          precision="bf16") == "onthefly"
+    assert resolve_metric("auto", "fused", "pieces", "dense", 4,
+                          precision="bf16") == "onthefly"
+    # 'highest' keeps its exact-f32 contract (onthefly Jacobian matmul is
+    # split3-class on TPU) unless the user forces the mode
+    assert resolve_metric("auto", "fused", "pieces", "dense", 4,
+                          precision="highest") == "precomputed"
     # merged solver's lattice-form pieces matvec requires the streamed metric
     assert resolve_metric("auto", "merged", "pieces", "dense", 4) == "precomputed"
     # explicit choices pass through untouched

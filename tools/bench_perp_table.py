@@ -38,7 +38,7 @@ OUT = "/root/repo/tools/PERP_TABLE.txt"
 
 # largest ladder size per degree under the reference's single-rank budget
 # (p+1)^3 * 2^s * 3 < 6e6  (benchmark.h:245,252-257)
-LADDER = {1: 15, 2: 14, 3: 14, 4: 13, 5: 12, 6: 12, 7: 11, 8: 11,
+LADDER = {1: 17, 2: 15, 3: 14, 4: 13, 5: 12, 6: 12, 7: 11, 8: 11,
           9: 10, 10: 10, 11: 10}
 
 
@@ -61,8 +61,8 @@ def main():
                     help="vector-stream storage dtype (bf16 = reduced rung)")
     ap.add_argument("--geometry", default="auto",
                     choices=["auto", "qpoint", "onthefly"],
-                    help="auto = onthefly where measured faster (dense + "
-                         "even q); see benchmark.resolve_metric")
+                    help="auto = onthefly where measured faster and "
+                         "convergence-safe (see benchmark.resolve_metric)")
     ap.add_argument("--degrees", default="1,2,3,4,5,6,7,8,9,10,11")
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
@@ -123,7 +123,9 @@ def main():
             factor = "twostage" if p >= 5 else "dense"
             gm = {"auto": "auto", "qpoint": "precomputed",
                   "onthefly": "onthefly"}[args.geometry]
-            gm = resolve_metric(gm, "fused", "pieces", factor, p)
+            eff_prec = "bf16" if args.dtype == "bf16" else args.precision
+            gm = resolve_metric(gm, "fused", "pieces", factor, p,
+                                precision=eff_prec)
             pb = bp4.build(s, p, dtype=vdt, backend="pallas",
                            precision=args.precision, windowing="pieces",
                            metric_dtype=mdt, factor=factor, metric=gm)

@@ -15,7 +15,7 @@ import re
 import sys
 
 LADDER_CELLS = {p: 2 ** s for p, s in
-                {1: 15, 2: 14, 3: 14, 4: 13, 5: 12, 6: 12, 7: 11, 8: 11,
+                {1: 17, 2: 15, 3: 14, 4: 13, 5: 12, 6: 12, 7: 11, 8: 11,
                  9: 10, 10: 10, 11: 10}.items()}
 
 
