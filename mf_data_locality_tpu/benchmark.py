@@ -63,6 +63,40 @@ class RunResult:
                 f"{self.time_per_matvec:.5e}")
 
 
+def resolve_factor(factor: str, degree: int, windowing: str,
+                   precision: str = "split2m",
+                   solver: str = "fused") -> str:
+    """Resolve factor='auto' to the measured-optimal contraction form.
+
+    Dense MXU matmuls at low degree, the two-stage factorization (2D MXU
+    stage + VPU z-stage, (p+1)x fewer FLOPs) where it measures faster:
+    p >= 5 on every rung (tools/R3_BATCH1.txt, PROBE_TWOSTAGE.txt,
+    PROBE_DISPATCH2.txt — the crossover holds under both geometry
+    modes), plus p=4 on the f32-class split rungs, where
+    twostage+onthefly won a 3-round interleaved A/B decisively
+    (191.7 vs 211.3 us/it min, tools/PROBE_P4FACTOR.txt) and converges
+    two iterations earlier at the convergent point (92 vs 94,
+    PROBE_FOLLOWUP part A).  The bf16 rung keeps dense at p=4: there
+    dense+onthefly measured 168.8 vs twostage 224.7 (PROBE_DISPATCH2
+    part G) — the one-pass bf16 matmul is cheap enough that the
+    twostage FLOP cut no longer pays for its extra VPU z-stage.
+    """
+    if factor != "auto":
+        return factor
+    if windowing != "pieces":
+        return "dense"
+    if degree >= 5:
+        return "twostage"
+    # NOT 'highest' and NOT the non-fused solvers: the p=4 twostage win
+    # is onthefly's, and resolve_metric engages the rebuild only on the
+    # fused pieces path — with the precomputed stream, p=4 dense measured
+    # faster (R3_BATCH1 / PROBE_TWOSTAGE).
+    if (degree == 4 and solver == "fused"
+            and precision in ("split3", "split2m")):
+        return "twostage"
+    return "dense"
+
+
 def resolve_metric(metric: str, solver: str, windowing: str, factor: str,
                    degree: int, n_q: int | None = None,
                    precision: str = "split2m") -> str:
@@ -127,20 +161,19 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``).
 
     ``factor="auto"`` picks the measured-optimal contraction factorization
-    per degree: dense MXU matmuls for p <= 4, the two-stage form (z on the
-    VPU, 2D MXU stage) for p >= 5, where its (p+1)x FLOP cut wins — under
-    BOTH geometry modes (tools/R3_BATCH1.txt, PROBE_TWOSTAGE.txt: p=5
-    split3 436 -> 297 us/it, p=6 split2m 601 -> 379; onthefly crossover
-    PROBE_DISPATCH2.txt: twostage wins p >= 5, dense wins p <= 4).
+    per degree and rung (``resolve_factor``): dense MXU matmuls at low
+    degree, the two-stage form (z on the VPU, 2D MXU stage) for p >= 5
+    everywhere plus p=4 on the f32-class split rungs, where its (p+1)x
+    FLOP cut wins (tools/R3_BATCH1.txt, PROBE_TWOSTAGE.txt,
+    PROBE_DISPATCH2.txt, PROBE_P4FACTOR.txt).
     """
     from functools import partial
 
-    if factor == "auto":
-        factor = ("twostage" if degree >= 5 and windowing == "pieces"
-                  else "dense")
     # with dtype=bf16 the streamed operands are bf16 regardless of the
-    # split flag, so the geometry dispatch must see the bf16 rung
+    # split flag, so both dispatches must see the bf16 rung
     eff_prec = "bf16" if dtype == jnp.bfloat16 else precision
+    factor = resolve_factor(factor, degree, windowing, precision=eff_prec,
+                            solver=solver)
     metric = resolve_metric(metric, solver, windowing, factor, degree,
                             precision=eff_prec)
 

@@ -93,6 +93,33 @@ def test_run_one_distributed_reports_matvec_and_cells():
     assert r.time_per_matvec > 0
 
 
+def test_resolve_factor_auto():
+    """factor='auto' picks the measured-optimal contraction per degree/rung
+    (R3_BATCH1, PROBE_TWOSTAGE, PROBE_DISPATCH2, PROBE_P4FACTOR)."""
+    from mf_data_locality_tpu.benchmark import resolve_factor, resolve_metric
+
+    # twostage for p>=5 on every rung
+    assert resolve_factor("auto", 5, "pieces") == "twostage"
+    assert resolve_factor("auto", 9, "pieces", precision="bf16") == "twostage"
+    # p=4: twostage on the f32-class split rungs (its onthefly rebuild won
+    # the interleaved A/B, PROBE_P4FACTOR)...
+    assert resolve_factor("auto", 4, "pieces", precision="split2m") == "twostage"
+    assert resolve_factor("auto", 4, "pieces", precision="split3") == "twostage"
+    # ...and that factor still resolves to the onthefly geometry
+    assert resolve_metric("auto", "fused", "pieces", "twostage", 4) == "onthefly"
+    # bf16 rung keeps dense at p=4 (dense 168.8 vs twostage 224.7)
+    assert resolve_factor("auto", 4, "pieces", precision="bf16") == "dense"
+    # 'highest' and non-fused solvers keep dense at p=4 (the win is
+    # onthefly's, which those paths don't engage)
+    assert resolve_factor("auto", 4, "pieces", precision="highest") == "dense"
+    assert resolve_factor("auto", 4, "pieces", solver="merged") == "dense"
+    # low degrees dense; non-pieces windowing always dense
+    assert resolve_factor("auto", 3, "pieces") == "dense"
+    assert resolve_factor("auto", 6, "reshape") == "dense"
+    # explicit choices pass through
+    assert resolve_factor("dense", 7, "pieces") == "dense"
+
+
 def test_resolve_metric_auto():
     """metric='auto' picks onthefly exactly where it measured faster
     (fused + pieces, p>=2 f32-class / p>=3 bf16 rung, both factorizations;

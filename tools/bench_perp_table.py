@@ -118,12 +118,14 @@ def main():
     for p in [int(x) for x in args.degrees.split(",")]:
         s = LADDER[p]
         try:
-            from mf_data_locality_tpu.benchmark import resolve_metric
+            from mf_data_locality_tpu.benchmark import (resolve_factor,
+                                                        resolve_metric)
 
-            factor = "twostage" if p >= 5 else "dense"
+            eff_prec = "bf16" if args.dtype == "bf16" else args.precision
+            factor = resolve_factor("auto", p, "pieces",
+                                    precision=eff_prec, solver="fused")
             gm = {"auto": "auto", "qpoint": "precomputed",
                   "onthefly": "onthefly"}[args.geometry]
-            eff_prec = "bf16" if args.dtype == "bf16" else args.precision
             gm = resolve_metric(gm, "fused", "pieces", factor, p,
                                 precision=eff_prec)
             pb = bp4.build(s, p, dtype=vdt, backend="pallas",
