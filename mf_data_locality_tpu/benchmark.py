@@ -322,14 +322,23 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
                              "--backend pallas --windowing pieces")
         from mf_data_locality_tpu.parallel import dist_fused
 
-        # distributed fused slabs are dense-factorization; resolve the
-        # geometry mode against that (same rule as single-device)
-        eff_prec = "bf16" if dtype == jnp.bfloat16 else precision
-        metric = resolve_metric(metric, "fused", "pieces", "dense", degree,
-                                precision=eff_prec)
+        # distributed fused slabs are dense-factorization.  metric='auto'
+        # keeps the streamed precomputed metric here: the distributed
+        # matvec protocol (dist.dist_matvec_jit -> apply_lattice_pieces)
+        # has no sharded piece-resident onthefly form yet, and the solve
+        # and matvec columns must describe the SAME operator.  An explicit
+        # metric='onthefly' runs the solve with the in-kernel rebuild and
+        # times the matvec on a precomputed-stream twin (labeled caveat).
+        metric = "precomputed" if metric == "auto" else metric
         dp, mesh = dist_fused.build_dist_fused(
             s, degree, n_devices=n_devices, dtype=dtype, precision=precision,
             metric=metric)
+        if metric == "onthefly":
+            dp_mv, _ = dist_fused.build_dist_fused(
+                s, degree, n_devices=n_devices, dtype=dtype,
+                precision=precision, metric="precomputed")
+        else:
+            dp_mv = dp
         do_solve = lambda: dist_fused.solve_fused(dp, mesh)  # noqa: E731
     elif backend == "general":
         # gather-map backend decomposed over cell chunks with rank-set
@@ -339,6 +348,7 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
         dp, mesh = dist_general.build_dist_general(s, degree,
                                                    n_devices=n_devices,
                                                    dtype=dtype)
+        dp_mv = dp
         do_solve = lambda: dist_general.solve_general(  # noqa: E731
             dp, mesh, solver=solver)
     else:
@@ -346,6 +356,7 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
                                           dtype=dtype, backend=backend,
                                           precision=precision,
                                           windowing=windowing)
+        dp_mv = dp
         do_solve = lambda: dist.solve(dp, mesh, solver=solver,  # noqa: E731
                                       overlap=overlap)
     result = do_solve()
@@ -362,9 +373,9 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
             lambda u: mv(dp.op_stack, dp.export_idx, dp.import_idx, u),
             dp.b, inner=matvec_inner, repeats=matvec_repeats)
     else:
-        mv = dist.dist_matvec_jit(dp, mesh, overlap=overlap)
+        mv = dist.dist_matvec_jit(dp_mv, mesh, overlap=overlap)
         matvec_time = timing.time_scan_fetch(
-            lambda u: mv(dp.op_stack, u), dp.b,
+            lambda u: mv(dp_mv.op_stack, u), dp_mv.b,
             inner=matvec_inner, repeats=matvec_repeats)
 
     return RunResult(
@@ -391,13 +402,6 @@ def ladder_sizes(degree: int, n_components: int = 3,
 
 
 def main(argv: list[str] | None = None) -> None:
-    if jax.default_backend() not in ("cpu",):
-        # persistent compile cache: tunneled-TPU compiles take minutes per
-        # program.  TPU-only — sharing AOT entries with CPU processes loads
-        # binaries compiled for mismatched machine features (SIGILL risk).
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("degree", type=int, nargs="?", default=1)
     ap.add_argument("s", type=int, nargs="?", default=-1,
@@ -461,7 +465,36 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--prec-dtype", choices=["f32", "bf16"], default="f32",
                     help="fused solver: storage dtype of the preconditioner "
                          "stream (bf16 = ~0.4%% Jacobi perturbation)")
+    ap.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                    help="cpu: retarget jax to the host CPU and "
+                         "self-provision enough virtual devices for "
+                         "--devices N (works even where the environment "
+                         "pins a TPU platform and pre-imports jax, as the "
+                         "test conftest does; must run before any backend "
+                         "query, i.e. only via this CLI entry)")
     args = ap.parse_args(argv)
+
+    if args.platform == "cpu":
+        # mirror tests/conftest.py: the env alone is ignored once jax is
+        # imported, and XLA_FLAGS must carry the virtual device count
+        # before the CPU backend initializes
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            n = max(args.devices, 1)
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+
+    if jax.default_backend() not in ("cpu",):
+        # persistent compile cache: tunneled-TPU compiles take minutes per
+        # program.  TPU-only — sharing AOT entries with CPU processes loads
+        # binaries compiled for mismatched machine features (SIGILL risk).
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if not 1 <= args.degree <= 11:
         raise SystemExit("Only degrees 1..11 implemented")  # benchmark.h:313
