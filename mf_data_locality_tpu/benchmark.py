@@ -55,17 +55,20 @@ class RunResult:
     n_iterations: int
     time_per_matvec: float
     converged: bool
+    note: str = ""
 
     def row(self) -> str:
         return (f"{self.degree:2d} | {self.n_q:2d} |{self.n_cells:10d} "
                 f"|{self.n_dofs:11d} | {self.time_per_it:.5e} | "
                 f"{self.dofs_per_s_per_it:.5e} | {self.n_iterations:4d} | "
-                f"{self.time_per_matvec:.5e}")
+                f"{self.time_per_matvec:.5e}"
+                + (f"   [{self.note}]" if self.note else ""))
 
 
 def resolve_factor(factor: str, degree: int, windowing: str,
                    precision: str = "split2m",
-                   solver: str = "fused") -> str:
+                   solver: str = "fused",
+                   metric: str = "auto") -> str:
     """Resolve factor='auto' to the measured-optimal contraction form.
 
     Dense MXU matmuls at low degree, the two-stage factorization (2D MXU
@@ -87,12 +90,16 @@ def resolve_factor(factor: str, degree: int, windowing: str,
         return "dense"
     if degree >= 5:
         return "twostage"
-    # NOT 'highest' and NOT the non-fused solvers: the p=4 twostage win
-    # is onthefly's, and resolve_metric engages the rebuild only on the
-    # fused pieces path — with the precomputed stream, p=4 dense measured
-    # faster (R3_BATCH1 / PROBE_TWOSTAGE).
+    # NOT 'highest', NOT the non-fused solvers, and NOT an explicitly
+    # requested precomputed stream: the p=4 twostage win is onthefly's
+    # (resolve_metric engages the rebuild only on the fused pieces path)
+    # — with the precomputed stream, p=4 dense measured faster
+    # (R3_BATCH1 / PROBE_TWOSTAGE).  ``metric`` is the caller's REQUEST
+    # ('auto'/'precomputed'/'onthefly'), consulted before resolve_metric
+    # runs (which itself needs the resolved factor).
     if (degree == 4 and solver == "fused"
-            and precision in ("split3", "split2m")):
+            and precision in ("split3", "split2m")
+            and metric != "precomputed"):
         return "twostage"
     return "dense"
 
@@ -130,7 +137,8 @@ def resolve_metric(metric: str, solver: str, windowing: str, factor: str,
     'bf16' since split3/split2m degrade to one bf16 pass there).
     'highest' keeps the precomputed metric: the in-kernel Jacobian matmul
     runs as a split3 hi/lo bf16 pair on TPU (~1e-5-class geometry
-    perturbation), which would silently weaken the exact-f32 contract —
+    perturbation, measured 6-8e-6 max rel), which would silently weaken
+    the exact-f32 contract —
     force --geometry onthefly to accept the trade.  ``n_q`` is the actual
     quadrature count when a caller overrides the q = p+2 reference
     default (benchmark.h:290-313); the dispatch is degree/rung-based
@@ -155,6 +163,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             precision: str = "highest", windowing: str = "reshape",
             metric_dtype=None, layers_per_step: int = 1,
             factor: str = "auto", x_skip: bool = False, prec_dtype=None,
+            x_dtype=None,
             solve_repeats: int = 4, matvec_repeats: int = 2,
             matvec_inner: int = 50, problem=None,
             metric: str = "auto") -> RunResult:
@@ -173,7 +182,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     # split flag, so both dispatches must see the bf16 rung
     eff_prec = "bf16" if dtype == jnp.bfloat16 else precision
     factor = resolve_factor(factor, degree, windowing, precision=eff_prec,
-                            solver=solver)
+                            solver=solver, metric=metric)
     metric = resolve_metric(metric, solver, windowing, factor, degree,
                             precision=eff_prec)
 
@@ -245,7 +254,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
                 op_c, lataxis, b.reshape((problem.n_components,) + lataxis),
                 inv_diag.reshape((1,) + lataxis),
                 layers_per_step=layers_per_step, x_skip=x_skip,
-                prec_dtype=prec_dtype)
+                prec_dtype=prec_dtype, x_dtype=x_dtype)
         raw = partial(vmult_fn, op_c,
                       constrained_identity=(solver == "baseline"))
         a = raw if lat is None else (lambda u: raw(u.reshape(lat)).reshape(u.shape))
@@ -316,6 +325,7 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
     """
     from mf_data_locality_tpu.parallel import distributed as dist
 
+    note = ""
     if solver == "fused":
         if backend != "pallas" or windowing != "pieces":
             raise ValueError("--solver fused --devices N requires "
@@ -337,6 +347,10 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
             dp_mv, _ = dist_fused.build_dist_fused(
                 s, degree, n_devices=n_devices, dtype=dtype,
                 precision=precision, metric="precomputed")
+            # the solve and matvec columns describe DIFFERENT operators
+            # here (onthefly solve, precomputed-stream matvec twin) —
+            # carried on the result row, not only as a code comment
+            note = "matvec: precomputed-metric twin"
         else:
             dp_mv = dp
         do_solve = lambda: dist_fused.solve_fused(dp, mesh)  # noqa: E731
@@ -345,6 +359,10 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
         # halo grouping (renumber_dofs_for_mf.h:492-535 capability)
         from mf_data_locality_tpu.parallel import dist_general
 
+        if metric not in ("auto", "precomputed"):
+            raise ValueError(
+                f"--backend general cannot honor --geometry {metric!r} "
+                "(the gather/scatter backend has no in-kernel rebuild)")
         dp, mesh = dist_general.build_dist_general(s, degree,
                                                    n_devices=n_devices,
                                                    dtype=dtype)
@@ -352,6 +370,11 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
         do_solve = lambda: dist_general.solve_general(  # noqa: E731
             dp, mesh, solver=solver)
     else:
+        if metric not in ("auto", "precomputed"):
+            raise ValueError(
+                f"--solver {solver} --devices N cannot honor --geometry "
+                f"{metric!r} (only the fused distributed path has the "
+                "in-kernel rebuild)")
         dp, mesh = dist.build_distributed(s, degree, n_devices=n_devices,
                                           dtype=dtype, backend=backend,
                                           precision=precision,
@@ -386,6 +409,7 @@ def run_one_distributed(degree: int, s: int, n_devices: int,
         n_iterations=n_it,
         time_per_matvec=matvec_time,
         converged=bool(result.converged),
+        note=note,
     )
 
 
@@ -445,9 +469,10 @@ def main(argv: list[str] | None = None) -> None:
                          "PROBE_PRODHIST.txt: -10%% to -45%% time/it). "
                          "NOTE: with --precision highest, the onthefly "
                          "Jacobian matmul still runs as a split3 hi/lo "
-                         "bf16 pair on TPU (~1e-7-class geometry "
-                         "perturbation vs exact f32) — Mosaic has no "
-                         "exact-f32 matmul inside this kernel")
+                         "bf16 pair on TPU (~1e-5-class geometry "
+                         "perturbation vs exact f32, measured 6-8e-6) — "
+                         "Mosaic has no exact-f32 matmul inside this "
+                         "kernel")
     ap.add_argument("--layers-per-step", type=int, default=1,
                     help="z-cell layers per fused-kernel grid step")
     ap.add_argument("--factor", choices=["auto", "dense", "twostage"],
@@ -465,6 +490,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--prec-dtype", choices=["f32", "bf16"], default="f32",
                     help="fused solver: storage dtype of the preconditioner "
                          "stream (bf16 = ~0.4%% Jacobi perturbation)")
+    ap.add_argument("--x-dtype", choices=["f32", "bf16"], default="f32",
+                    help="fused solver: storage dtype of the solution "
+                         "vector x only (bf16 halves x's read+write; the "
+                         "iteration path stays f32-class since x feeds no "
+                         "residual recurrence, but the DELIVERED x is "
+                         "bf16-rounded — a reduced solution-accuracy rung)")
     ap.add_argument("--platform", choices=["auto", "cpu"], default="auto",
                     help="cpu: retarget jax to the host CPU and "
                          "self-provision enough virtual devices for "
@@ -525,6 +556,8 @@ def main(argv: list[str] | None = None) -> None:
                         factor=args.factor, x_skip=args.x_skip,
                         prec_dtype=(jnp.bfloat16 if args.prec_dtype == "bf16"
                                     else None),
+                        x_dtype=(jnp.bfloat16 if args.x_dtype == "bf16"
+                                 else None),
                         metric={"auto": "auto", "qpoint": "precomputed",
                                 "onthefly": "onthefly"}[args.geometry])
         print(r.row() + ("" if r.converged else "   [not converged]"))

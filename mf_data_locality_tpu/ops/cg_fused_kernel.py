@@ -1173,7 +1173,9 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
     Rs = p * p if compact else R  # stored rows per state plane
     q3 = op.w3.shape[0]
     n_comp = x.shape[0]
-    acc = x.dtype
+    # accumulation dtype from g (NOT x: the bf16-x-only rung stores x in
+    # bf16 while the recurrences accumulate in f32)
+    acc = g.dtype
     store = d.dtype
     nzm = ncz * p
     L = layers_per_step
@@ -1243,7 +1245,12 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     out_shape = [
-        *([jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), acc)]
+        # x' keeps x's own storage dtype: the bf16-x-only rung stores x in
+        # bf16 (x enters only through update4b and does not feed the
+        # g/d/h residual recurrences, so the ITERATION PATH stays f32-
+        # exact; the delivered solution is bf16-rounded — VERDICT r5
+        # item 3 / ROADMAP candidate 2)
+        *([jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), x.dtype)]
           if with_x else []),
         jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), acc),
         jax.ShapeDtypeStruct((n_comp, nzm, Rs, Bs), store),

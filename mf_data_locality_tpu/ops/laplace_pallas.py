@@ -255,7 +255,8 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
     only) — 54x less geometry HBM at p=4 for ~100 extra VPU ops per
     q-point-lane.  CAVEAT: on TPU the in-kernel Jacobian matmul always
     runs as a split3 bf16 hi/lo pair, so metric="onthefly" +
-    precision="highest" yields ~1e-7-class geometry perturbation instead
+    precision="highest" yields ~1e-5-class geometry perturbation (measured
+    6-8e-6 max rel on random geometry-like operands) instead
     of exact-f32 geometry (Mosaic offers no exact-f32 matmul here; f64
     interpret mode keeps exact accumulation).
     ``precision``: "highest" (exact f32 matmuls),

@@ -157,13 +157,19 @@ def _decompose(layout: DofLayout, D: int) -> tuple[list[dict], tuple[int, ...]]:
 
 def build_dist_general(s: int, degree: int, n_devices: int | None = None,
                        dtype=jnp.float32, n_components: int = 3,
-                       devices=None) -> tuple[DistributedGeneral, Mesh]:
+                       devices=None,
+                       layout=None) -> tuple[DistributedGeneral, Mesh]:
     """Partition the BP4 problem over a 1D device mesh, general backend.
 
     Host-side NumPy setup mirroring the reference's rank-local view: each
     device gets its cell chunk's geometry, a locality-renumbered local gather
     map, the transposed scatter map rebuilt for the local numbering, and
     contiguous halo index slices.
+
+    ``layout``: any DofLayout-compatible object (``mesh.cell_vertices``,
+    ``gather_map``, ``boundary_node_mask``) — e.g. an irregular hex mesh
+    through :class:`mesh.general.GeneralDofLayout`; ``s`` is ignored then
+    (the deal.II-generality slot, ``benchmark.h:67-89``).
     """
     devs = list(devices if devices is not None else jax.devices())
     D = n_devices or len(devs)
@@ -171,7 +177,8 @@ def build_dist_general(s: int, degree: int, n_devices: int | None = None,
         raise ValueError(f"requested {D} devices, only {len(devs)} available")
     mesh = Mesh(np.array(devs[:D]), (AXIS,))
 
-    layout = DofLayout(BoxMesh.from_s(s), degree)
+    if layout is None:
+        layout = DofLayout(BoxMesh.from_s(s), degree)
     per_rank, offsets = _decompose(layout, D)
     n = layout.n_nodes
     nloc = layout.gather_map.shape[1]
@@ -197,8 +204,10 @@ def build_dist_general(s: int, degree: int, n_devices: int | None = None,
 
     NL = max(pr["n_local"] for pr in per_rank) + 1  # +1 dead node
     NC = max(len(pr["cells"]) for pr in per_rank)
-    E = max(max(pr["exports"][o].size for pr in per_rank for o in offsets),
-            max(pr["imports"][o].size for pr in per_rank for o in offsets))
+    # D=1 has no rank-offset pairs (offsets=()): zero-width halo arrays,
+    # the exchange loops below run zero times
+    E = max((pr[k][o].size for pr in per_rank for o in offsets
+             for k in ("exports", "imports")), default=0)
     dead = NL - 1
 
     op_list, invs, bs, weights, exps, imps, kmaxes = [], [], [], [], [], [], []
@@ -370,9 +379,11 @@ def solve_general(dist: DistributedGeneral, mesh: Mesh,
 
 def gather_global_general(dist: DistributedGeneral, x_dist: jax.Array,
                           s: int, degree: int,
-                          n_components: int = 3) -> np.ndarray:
+                          n_components: int = 3,
+                          layout=None) -> np.ndarray:
     """Reassemble a distributed solution into the global (C, n_nodes) vector."""
-    layout = DofLayout(BoxMesh.from_s(s), degree)
+    if layout is None:
+        layout = DofLayout(BoxMesh.from_s(s), degree)
     per_rank, _ = _decompose(layout, dist.n_devices)
     xd = np.asarray(x_dist)
     out = np.zeros((n_components, layout.n_nodes))

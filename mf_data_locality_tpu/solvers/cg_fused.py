@@ -37,6 +37,7 @@ def fused_merged_cg_solve(
     compact: bool = True,
     x_skip: bool = False,
     prec_dtype=None,
+    x_dtype=None,
 ) -> SolveResult:
     """Solve A x = b (lattice vectors (C, Nz, Ny, Nx)) with the fused kernel.
 
@@ -57,6 +58,15 @@ def fused_merged_cg_solve(
     accumulation dtype, so only P's values round, a ~0.4% relative Jacobi
     perturbation; the reduced-precision storage capability slot,
     ``vector_access_reduced.h:57-283``).
+    ``x_dtype``: storage dtype for the SOLUTION vector x only (e.g. bf16 —
+    halves x's read+write, 2 of the ~9 state words/DoF).  x enters the
+    iteration only through update4b and feeds none of the g/d/h residual
+    recurrences, so the iteration path (residual history, iteration
+    counts) is unchanged to f32 class; the delivered x is rounded through
+    ``x_dtype`` each pay iteration, bounding the final solution accuracy
+    at ~its epsilon relative to |x| regardless of the solver tolerance
+    (the isolate VERDICT r4 asked for: R3_BATCH5 only ever tested bf16
+    x AND g together, which DOES break the iteration class).
 
     On CG breakdown (d.h = 0 in the scalar recurrence) the residual becomes
     NaN, the while-loop condition ``res > tol`` turns False, and the solve
@@ -123,7 +133,7 @@ def fused_merged_cg_solve(
     tol = jnp.maximum(jnp.asarray(abs_tol, acc), rel_tol * res0)
     history = jnp.full((max_iter + 1,), jnp.nan, dtype=acc).at[0].set(res0)
 
-    x_st = jnp.zeros_like(g0)
+    x_st = jnp.zeros(g0.shape, x_dtype if x_dtype is not None else acc)
     d_st = jnp.zeros(g0.shape, dtype)
     h_st = jnp.zeros(g0.shape, dtype)
     zg0 = fk.zplanes_init(g0, p)
@@ -180,7 +190,7 @@ def fused_merged_cg_solve(
         g = fk.unfold_state(g, n_comp)
         d = fk.unfold_state(d, n_comp)
 
-    x = fk.delayed_x_fixup(x, g, d, prec_pieces, scal, it)
+    x = fk.delayed_x_fixup(x.astype(acc), g, d, prec_pieces, scal, it)
 
     if compact:
         # reconstruct the duplicated rows (consistent, boundary-zero state)

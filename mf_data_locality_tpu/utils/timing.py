@@ -39,6 +39,27 @@ def round_trip_latency(refresh: bool = False) -> float:
     return best
 
 
+def latency_recheck(tol: float = 0.2) -> tuple[bool, float, float]:
+    """Re-measure the round-trip latency and compare with the cached value.
+
+    The latency correction's failure mode (VERDICT r4 weak 4): a host that
+    was busy when ``round_trip_latency`` first ran caches an INFLATED value
+    that is then subtracted from every solve wall time, silently DEFLATING
+    every reported time (a contaminated round-4 table showed p=3 at 115
+    us/it vs the honest 204).  Measurement scripts call this AFTER their
+    timed section: a drift beyond ``tol`` (relative to the larger of the
+    two) means the host was not idle for at least part of the run and the
+    table must be rejected, not annotated.
+
+    Returns ``(ok, cached, fresh)`` and re-caches the fresh value either
+    way (it is the more current estimate for anything timed next).
+    """
+    cached = round_trip_latency()
+    fresh = round_trip_latency(refresh=True)
+    drift = abs(fresh - cached) / max(cached, fresh, 1e-12)
+    return drift <= tol, cached, fresh
+
+
 def time_min_fetch(fn: Callable[[], jax.Array], repeats: int,
                    warmup: int = 1) -> float:
     """Min over ``repeats`` of the wall time of ``float(fn())``, latency-corrected.

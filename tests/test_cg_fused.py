@@ -212,6 +212,27 @@ def test_fused_bf16_storage_converges():
     assert abs(int(res16.n_iterations) - int(res32.n_iterations)) <= 6
 
 
+def test_x_dtype_bf16_iteration_path_exact():
+    """bf16-x-only storage (VERDICT r5 item 3): x feeds no residual
+    recurrence, so the ITERATION PATH must be identical to the f32-x solve
+    (same counts, same residual history to roundoff); only the delivered x
+    is bf16-rounded."""
+    problem, lataxis, b_lat, prec_lat = _setup(6, 2)
+    ref = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat,
+                                         prec_lat)
+    res = cg_fused.fused_merged_cg_solve(problem.op, lataxis, b_lat,
+                                         prec_lat, x_dtype=jnp.bfloat16)
+    assert bool(res.converged)
+    assert int(res.n_iterations) == int(ref.n_iterations)
+    n = int(ref.n_iterations) + 1
+    np.testing.assert_array_equal(np.asarray(res.res_history)[:n],
+                                  np.asarray(ref.res_history)[:n])
+    xr = np.asarray(ref.x)
+    # delivered solution: bf16-rounding class relative to |x|
+    np.testing.assert_allclose(np.asarray(res.x), xr,
+                               atol=2e-2 * max(1.0, np.abs(xr).max()))
+
+
 def test_consistency_matches_overlap_add():
     """_make_consistent == overlap-add assembly then re-window (per layer)."""
     p, ncy, ncx = 2, 4, 4

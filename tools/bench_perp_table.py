@@ -79,11 +79,15 @@ def main():
     from mf_data_locality_tpu.models import bp4
 
     bw = timing.measure_hbm_bandwidth()
+    lat0 = timing.round_trip_latency()
     mdt = jnp.bfloat16 if args.metric_dtype == "bf16" else None
     pdt = jnp.bfloat16 if args.prec_dtype == "bf16" else None
     vdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    # stamp: the latency correction and bandwidth this table is computed
+    # with (VERDICT r4 weak 4c) — a reader can reject stale comparisons
     log(f"# per-degree roofline table  backend={jax.default_backend()}  "
-        f"bw={bw/1e9:.0f} GB/s  config: dtype={args.dtype} "
+        f"bw={bw/1e9:.0f} GB/s  latency={lat0*1e3:.1f} ms  "
+        f"config: dtype={args.dtype} "
         f"precision={args.precision} "
         f"metric={args.metric_dtype} x_skip={args.x_skip} "
         f"prec_dtype={args.prec_dtype} factor=auto")
@@ -149,16 +153,34 @@ def main():
             gsolve = r.dofs_per_s_per_it
             gmv = r.n_dofs / r.time_per_matvec
             frac_str = (stream_bytes_per_it(pb, p) / bw) / r.time_per_it
+            # protocol invariant: a full iteration CONTAINS a matvec, so
+            # time/matvec > time/it can only mean a contaminated solve
+            # timing (deflated by an inflated latency correction) or a
+            # broken matvec protocol — flag the row mechanically instead
+            # of relying on the README's idle-host rule
+            viol = ("  [VIOLATION: time/matvec > time/it — host load?]"
+                    if r.time_per_matvec > r.time_per_it else "")
             log(f"  {p:2d} | {s:2d} | {r.n_dofs:8d} | "
                 f"{r.time_per_it*1e6:10.1f} | {gsolve/1e9:9.2f} | "
                 f"{gsolve/solve_roofline:10.3f} | {frac_str:8.3f} | "
                 f"{r.time_per_matvec*1e6:10.1f} | {gmv/1e9:9.2f} | "
                 f"{gmv/mv_roofline:7.3f} | {r.n_iterations}"
-                + ("" if r.converged else "  [not converged]"))
+                + ("" if r.converged else "  [not converged]") + viol)
         except Exception:
             log(f"  {p:2d} | {s:2d} | FAILED")
             log(traceback.format_exc())
-    log("# table done")
+    # post-run latency recheck: reject the WHOLE table if the correction
+    # drifted (the contaminated-host failure mode is now mechanical)
+    ok, cached, fresh = timing.latency_recheck()
+    if ok:
+        log(f"# table done  (latency recheck ok: {cached*1e3:.1f} -> "
+            f"{fresh*1e3:.1f} ms)")
+    else:
+        log(f"# TABLE REJECTED: round-trip latency drifted "
+            f"{cached*1e3:.1f} -> {fresh*1e3:.1f} ms (>20%) — the host was "
+            f"not idle; every solve time above is suspect.  Rerun on an "
+            f"idle host.")
+        sys.exit(3)
 
 
 if __name__ == "__main__":
