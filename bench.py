@@ -75,6 +75,13 @@ def main() -> None:
           f"measured_bw={bw/1e9:.0f}GB/s roofline={roofline/1e9:.2f}GDoF/s/it "
           f"latency={timing.round_trip_latency()*1e3:.1f}ms "
           f"converged={r.converged}", file=sys.stderr)
+    # the round 1-4 one-chain protocol number, for cross-round comparison
+    # (includes the tunneled backend's per-solve dispatch fixed cost; the
+    # headline uses the two-solve slope — see benchmark.run_one)
+    print(f"# old-protocol (one-chain wall): time/it="
+          f"{r.time_per_it_wall:.3e}s dofs/s/it="
+          f"{r.n_dofs / max(r.time_per_it_wall, 1e-12):.3e}",
+          file=sys.stderr)
     # Second denominator: the kernel's OWN streamed traffic.  The 9-word
     # model above is the REFERENCE's — it holds there because the reference
     # rebuilds the Jacobian per q-point from compressed per-cell

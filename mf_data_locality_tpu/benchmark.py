@@ -56,6 +56,13 @@ class RunResult:
     time_per_matvec: float
     converged: bool
     note: str = ""
+    # one-chain (wall / n_it) solve time — the round 1-4 protocol, kept for
+    # cross-round comparability.  On the tunneled backend it includes a
+    # per-solve fixed cost (dispatch + the latency-correction residual,
+    # measured 2-22 ms) divided by only ~100 iterations, overstating
+    # time_per_it by up to ~90 us at fast configs; the primary column now
+    # uses the two-solve slope that cancels it (see run_one).
+    time_per_it_wall: float = 0.0
 
     def row(self) -> str:
         return (f"{self.degree:2d} | {self.n_q:2d} |{self.n_cells:10d} "
@@ -265,9 +272,41 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
     args = (problem.inv_diag, problem.b)
     result = solve_jit(*args)  # warmup & compile
     n_it = int(result.n_iterations)
-    # timing by scalar fetch (block_until_ready does not block on tunneled TPUs)
-    solver_time = timing.time_min_fetch(
-        lambda: solve_jit(*args).res_norm, repeats=solve_repeats, warmup=0)
+
+    # -- solve timing: two-chain slope (round-5 protocol) ------------------
+    # The reference times the solve with an in-process timer
+    # (benchmark.h:184-199): dispatch cost ~0.  On the tunneled backend a
+    # one-chain wall measurement carries a 2-22 ms per-solve fixed cost
+    # (dispatch + whatever the latency correction mis-estimates) divided by
+    # only ~itCG iterations — the same bias the matvec column already
+    # cancels with its slope.  Chain k complete solves inside one jit with
+    # a data dependency (solve i's res_norm perturbs nothing at runtime but
+    # prevents CSE of identical solves) and report t_2 - t_1: every
+    # per-chain fixed cost cancels; per-solve entry/exit work (state
+    # conversions, initial residual, exit fixup) stays IN the numerator,
+    # matching the reference's time/it semantics.  t_1 is exactly the old
+    # protocol's measurement and is kept as time_per_it_wall.
+    def make_solve_chain(k):
+        @jax.jit
+        def f():
+            def body(c, _):
+                bb = jnp.where(c == c, args[1], args[1] + 1.0)
+                r = solve_jit(args[0], bb)  # jit-under-jit: inlined trace
+                return r.res_norm.astype(jnp.float32), None
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+            return out
+        return f
+
+    chain1, chain2 = make_solve_chain(1), make_solve_chain(2)
+    t1 = timing.time_min_fetch(chain1, repeats=solve_repeats, warmup=1)
+    t2 = timing.time_min_fetch(chain2, repeats=solve_repeats, warmup=1)
+    solver_time = t2 - t1
+    solver_time_wall = t1
+    if not (solver_time > 0
+            and t2 > 0.2 * timing.round_trip_latency()):
+        # tiny problems finishing inside the round trip: the slope drowns
+        # in noise — fall back to the one-chain measurement
+        solver_time = t1
 
     if solver == "fused":
         # the operator's native matvec for the fused path: input/output
@@ -307,6 +346,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         n_iterations=n_it,
         time_per_matvec=matvec_time,
         converged=bool(result.converged),
+        time_per_it_wall=solver_time_wall / max(n_it, 1),
     )
 
 

@@ -175,7 +175,7 @@ def _pad_row_blocks(m, nblocks: int, rows: int, rows_p: int):
         nblocks * rows_p, m.shape[-1])
 
 
-def _metric_onthefly(c24, geo):
+def _metric_onthefly(c24, geo, ablate=()):
     """Rebuild the 6 metric entries from the 24 trilinear coefficients.
 
     ``c24``: (24, Bc) geometry rows of one z-cell layer (row d * 8 + k =
@@ -199,9 +199,23 @@ def _metric_onthefly(c24, geo):
     """
     q3 = geo.shape[0] // 4
     pds, w3 = geo[: 3 * q3], geo[3 * q3:, 0:1]
+    if "rebuild" in ablate:
+        # timing ablation (wrong values, same operand streams): elide the
+        # WHOLE rebuild — J matmul + cofactor/det + assembly — keeping the
+        # 24-row coefficient stream live
+        row = jnp.broadcast_to(c24[:1], (q3, c24.shape[-1])) + 0.0
+        return jnp.concatenate([row] * 6, axis=0)
     jprec = "highest" if c24.dtype == jnp.float64 else "split3"
     # J[d][e] = dx_d/d(uvw)_e at rows [e q^3:(e+1) q^3] (geometry.jacobian)
     J = [_mm(pds, c24[8 * d: 8 * (d + 1)], jprec) for d in range(3)]
+    if "invert" in ablate:
+        # timing ablation: keep the MXU Jacobian evaluation, elide the VPU
+        # cofactor/determinant/metric-assembly chain (6 rows read straight
+        # from J entries) — isolates the invert+assembly cost from the
+        # J-eval cost
+        return jnp.concatenate(
+            [J[0][:q3], J[0][q3:2 * q3], J[0][2 * q3:],
+             J[1][:q3], J[1][q3:2 * q3], J[1][2 * q3:]], axis=0) * w3[0, 0]
     (a, b, c_), (d, e, f), (g, h, i) = (
         (Jd[:q3], Jd[q3: 2 * q3], Jd[2 * q3:]) for Jd in J)
     # adj = det * J^{-1}, cofactor layout of geometry.invert_3x3
@@ -528,7 +542,8 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
         sr2 = precision == "bf16sr"
         if g6.shape[0] == 24:  # metric='onthefly': rebuild per qz group
             per = geo.shape[0] // q  # 4 * q2p rows per qz block
-            parts = [_metric_onthefly(g6, geo[qz * per:(qz + 1) * per])
+            parts = [_metric_onthefly(g6, geo[qz * per:(qz + 1) * per],
+                                      ablate=ablate)
                      for qz in range(q)]  # (6 q2p, B) each
             ge = [jnp.concatenate([parts[qz][e * q2:(e + 1) * q2]
                                    for qz in range(q)], axis=-1)
@@ -551,17 +566,31 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
             uD = jnp.concatenate(uD_blocks, axis=-1)
             if sr2:
                 uS, uD = _sr_bf16(uS), _sr_bf16(uD)
+            elif "split1" in ablate or "fsplit1" in ablate:
+                # timing ablation: pre-round the forward stream to bf16 so
+                # _stream_parts degrades to a single MXU pass
+                uS = uS.astype(jnp.bfloat16)
+                uD = uD.astype(jnp.bfloat16)
             gxy = _mm_pre(m_f, m_b, nsplit, precision, uS,
                           rows=(0, 2 * q2))           # (2q^2, qB)
             gz = _mm_pre(m_f, m_b, nsplit, precision, uD,
                          rows=(2 * q2, 3 * q2))       # (q^2, qB)
             gx, gy = gxy[:q2], gxy[q2:]
-            t0 = ge[0] * gx + ge[1] * gy + ge[2] * gz
-            t1 = ge[1] * gx + ge[3] * gy + ge[4] * gz
-            t2 = ge[2] * gx + ge[4] * gy + ge[5] * gz
+            if "metric" in ablate:
+                # timing ablation: elide the 9-FMA metric application
+                # (wrong values; ge charged with one use)
+                t0 = gx + ge[0][0, 0]
+                t1, t2 = gy, gz
+            else:
+                t0 = ge[0] * gx + ge[1] * gy + ge[2] * gz
+                t1 = ge[1] * gx + ge[3] * gy + ge[4] * gz
+                t2 = ge[2] * gx + ge[4] * gy + ge[5] * gz
             t01 = jnp.concatenate([t0, t1], axis=0)
             if sr2:
                 t01, t2 = _sr_bf16(t01), _sr_bf16(t2)
+            elif "split1" in ablate or "bsplit1" in ablate:
+                t01 = t01.astype(jnp.bfloat16)
+                t2 = t2.astype(jnp.bfloat16)
             w1 = _mm_pre(m_f, m_b, nsplit, precision, t01,
                          back=True, rows=(0, 2 * q2))  # (p1^2, qB)
             w2 = _mm_pre(m_f, m_b, nsplit, precision, t2,
@@ -580,7 +609,7 @@ def _operator_block(precision, n_comp, p, ncx, ablate, m_f, m_b, nsplit,
         q3 = m_f.shape[0] // 3
         u = u4.reshape(n_comp * p13, B)
         if g6.shape[0] == 24:  # metric='onthefly': 24 coefficient rows
-            g6 = _metric_onthefly(g6, geo)
+            g6 = _metric_onthefly(g6, geo, ablate=ablate)
         g00, g01, g02 = (rep(g6[:q3]), rep(g6[q3:2 * q3]),
                          rep(g6[2 * q3:3 * q3]))
         g11, g12, g22 = (rep(g6[3 * q3:4 * q3]), rep(g6[4 * q3:5 * q3]),
