@@ -216,6 +216,29 @@ def _metric_onthefly(c24, geo, ablate=()):
         return jnp.concatenate(
             [J[0][:q3], J[0][q3:2 * q3], J[0][2 * q3:],
              J[1][:q3], J[1][q3:2 * q3], J[1][2 * q3:]], axis=0) * w3[0, 0]
+    if "jtj" in ablate:
+        # candidate form (VERDICT r5 item 1 microbench): G = w adj(C)
+        # / sqrt(det C) with C = J^T J symmetric — mathematically identical
+        # (J^{-1} J^{-T} = C^{-1}, det C = det(J)^2 with det(J) > 0 for an
+        # orientation-preserving map), ~12% fewer VPU ops than the
+        # adjugate-of-J chain (C 30 + adj(C) 18 + det 5 + scale 3 + rows 6
+        # = 62 vs 27 + 5 + 2 + 36 = 70) and an rsqrt instead of a divide
+        Je = [(Jd[:q3], Jd[q3: 2 * q3], Jd[2 * q3:]) for Jd in J]
+        C = {}
+        for e_ in range(3):
+            for f_ in range(e_, 3):
+                C[(e_, f_)] = (Je[0][e_] * Je[0][f_] + Je[1][e_] * Je[1][f_]
+                               + Je[2][e_] * Je[2][f_])
+        c00, c01, c02 = C[(0, 0)], C[(0, 1)], C[(0, 2)]
+        c11, c12, c22 = C[(1, 1)], C[(1, 2)], C[(2, 2)]
+        adjC = [c11 * c22 - c12 * c12, c02 * c12 - c01 * c22,
+                c01 * c12 - c02 * c11, c00 * c22 - c02 * c02,
+                c01 * c02 - c00 * c12, c00 * c11 - c01 * c01]
+        detC = c00 * adjC[0] + c01 * adjC[1] + c02 * adjC[2]
+        # padding rows carry detC = 0, w3 = 0 and must come out exactly 0
+        scale = w3.astype(detC.dtype) * jax.lax.rsqrt(
+            jnp.where(detC <= 0.0, 1.0, detC))
+        return jnp.concatenate([r * scale for r in adjC], axis=0)
     (a, b, c_), (d, e, f), (g, h, i) = (
         (Jd[:q3], Jd[q3: 2 * q3], Jd[2 * q3:]) for Jd in J)
     # adj = det * J^{-1}, cofactor layout of geometry.invert_3x3
@@ -226,7 +249,14 @@ def _metric_onthefly(c24, geo, ablate=()):
     # G[e,f] = det w (J^{-1} J^{-T})[e,f] = (w / det) sum_d adj_ed adj_fd
     # (division guarded: odd-q row padding carries det = 0, w3 = 0 rows
     # that must come out as exactly 0, not NaN)
-    scale = w3.astype(det.dtype) / jnp.where(det == 0.0, 1.0, det)
+    if "arecip" in ablate:
+        # candidate form: approximate-reciprocal scale (the divide is the
+        # only multi-op scalar in the chain); ~2^-8-class perturbation of
+        # G — needs a convergence-class check before any promotion
+        scale = w3.astype(det.dtype) * pl.reciprocal(
+            jnp.where(det == 0.0, 1.0, det), approx=True)
+    else:
+        scale = w3.astype(det.dtype) / jnp.where(det == 0.0, 1.0, det)
     rows = []
     for e_ in range(3):
         for f_ in range(e_, 3):
@@ -858,27 +888,64 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
         total = total + part
         carry_in = carry_plane[:, None]
     carry_ref[:] = carry_plane
+    # the executed grid may be a step_range slice of the full sweep, so
+    # "last executed step" is the grid bound, not nsteps
+    last_exec = prog == pl.num_programs(0) - 1
     if carry_out_ref is not None:
-        # constant-index output block: the final (last-layer) write survives
-        # — the z-overlap contribution owed to the upward neighbor device
-        carry_out_ref[:] = carry_plane[:, None]
+        # the z-overlap contribution owed to the upward neighbor device is
+        # the final executed step's carry plane; the earlier writes were
+        # dead (constant-index output block, last write wins)
+        @pl.when(last_exec)
+        def _write_carry():
+            carry_out_ref[:] = carry_plane[:, None]
     dacc_ref[:] = total
 
     # -- in-kernel scalar recurrence (solver_cg_optimized.h:249-295) --------
     # Computing alpha/beta/c1/aob/res^2 here lets iterations chain
     # pallas -> pallas with no intermediate XLA kernels — the single-chip
-    # analog of hiding the allreduce turnaround.  Only the last layer's
-    # values survive (constant-index output block, last write wins).
-    s = jnp.sum(total, axis=1)  # (8,) cross-lane
-    if not recurrence:
-        # distributed path: emit the raw local partial sums; the scalar
-        # recurrence runs at XLA level after the one 7-scalar psum
+    # analog of hiding the allreduce turnaround.  Only the final executed
+    # step's values survive (constant-index output block), so the (8, B)
+    # cross-lane reduction + recurrence run UNDER pl.when(last_exec): the
+    # eager form paid the ~11-shuffle log-tree per grid step, which at
+    # p=1 s=17 (64 steps of 8 DoF/cell work each) dominated the
+    # iteration-minus-matvec gap (VERDICT r4 item 2; A/B in
+    # tools/PROBE_R5_DOTS.txt via the "eagerdots" ablation arm).
+    if "eagerdots" in ablate:
+        # timing-ablation arm: the round-1..4 every-step behavior
+        s = jnp.sum(total, axis=1)  # (8,) cross-lane
+        if not recurrence:
+            for k in range(8):
+                dots_ref[k] = s[k]
+            return
+        sc = scalar_recurrence(s, alpha, beta, scal_ref[4])
         for k in range(8):
-            dots_ref[k] = s[k]
+            dots_ref[k] = sc[k]
         return
-    sc = scalar_recurrence(s, alpha, beta, scal_ref[4])
-    for k in range(8):
-        dots_ref[k] = sc[k]
+
+    @pl.when(last_exec)
+    def _emit_dots():
+        s = jnp.sum(total, axis=1)  # (8,) cross-lane
+        if not recurrence:
+            # distributed path: emit the raw local partial sums; the scalar
+            # recurrence runs at XLA level after the one 7-scalar psum
+            for k in range(8):
+                dots_ref[k] = s[k]
+        else:
+            sc = scalar_recurrence(s, alpha, beta, scal_ref[4])
+            for k in range(8):
+                dots_ref[k] = sc[k]
+
+    if "zerodots" in ablate:
+        # hypothesis arm for the lazy-dots p>=4 regression: a
+        # conditionally-written constant-index output block may force
+        # Mosaic to treat dots_ref as live across grid steps; writing
+        # (dead) zeros on the non-last steps keeps the block
+        # unconditionally written while still skipping the log-tree
+        # reduce + recurrence on all but the final step
+        @pl.when(jnp.logical_not(last_exec))
+        def _zero_dots():
+            for k in range(8):
+                dots_ref[k] = jnp.zeros((), dots_ref.dtype)
 
 
 def scalar_recurrence(s, alpha, beta, parity):

@@ -38,6 +38,7 @@ def fused_merged_cg_solve(
     x_skip: bool = False,
     prec_dtype=None,
     x_dtype=None,
+    _ablate: tuple = (),
 ) -> SolveResult:
     """Solve A x = b (lattice vectors (C, Nz, Ny, Nx)) with the fused kernel.
 
@@ -149,7 +150,7 @@ def fused_merged_cg_solve(
             op, n_nodes_axis, x, g, d, h, zg, zd, zh, scal, prec_pieces,
             interpret=interpret, n_rep=n_rep, alias=alias,
             layers_per_step=layers_per_step, compact=compact,
-            with_x=with_x, seed=seed)
+            with_x=with_x, seed=seed, _ablate=_ablate)
 
     def body(state):
         x, g, d, h, zg, zd, zh, scal, it, _, hist = state
