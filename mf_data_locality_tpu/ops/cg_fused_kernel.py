@@ -904,48 +904,46 @@ def _fused_cg_kernel(precision, n_comp, p, dims, acc, store, ablate, n_rep,
     # Computing alpha/beta/c1/aob/res^2 here lets iterations chain
     # pallas -> pallas with no intermediate XLA kernels — the single-chip
     # analog of hiding the allreduce turnaround.  Only the final executed
-    # step's values survive (constant-index output block), so the (8, B)
-    # cross-lane reduction + recurrence run UNDER pl.when(last_exec): the
-    # eager form paid the ~11-shuffle log-tree per grid step, which at
-    # p=1 s=17 (64 steps of 8 DoF/cell work each) dominated the
-    # iteration-minus-matvec gap (VERDICT r4 item 2; A/B in
-    # tools/PROBE_R5_DOTS.txt via the "eagerdots" ablation arm).
-    if "eagerdots" in ablate:
-        # timing-ablation arm: the round-1..4 every-step behavior
-        s = jnp.sum(total, axis=1)  # (8,) cross-lane
-        if not recurrence:
-            for k in range(8):
-                dots_ref[k] = s[k]
-            return
-        sc = scalar_recurrence(s, alpha, beta, scal_ref[4])
-        for k in range(8):
-            dots_ref[k] = sc[k]
+    # step's values survive (constant-index output block), so in principle
+    # the (8, B) cross-lane reduction + recurrence could run lazily under
+    # pl.when(last_exec).  MEASURED (tools/PROBE_R5_DOTS.txt, 8 interleaved
+    # rounds x 5 points): the lazy form is +10-12% SLOWER at the slope
+    # minima for p=1/4/9 and never faster — the every-step log-tree hides
+    # under the DMA/MXU pipeline, while the conditional constant-index
+    # write perturbs Mosaic's schedule.  The eager (every-step) emission is
+    # therefore the default; "lazydots"/"zerodots" remain as ablation arms.
+    if "lazydots" in ablate or "zerodots" in ablate:
+        @pl.when(last_exec)
+        def _emit_dots():
+            s = jnp.sum(total, axis=1)  # (8,) cross-lane
+            if not recurrence:
+                for k in range(8):
+                    dots_ref[k] = s[k]
+            else:
+                sc = scalar_recurrence(s, alpha, beta, scal_ref[4])
+                for k in range(8):
+                    dots_ref[k] = sc[k]
+
+        if "zerodots" in ablate:
+            # keeps the block unconditionally written (dead zeros on
+            # non-last steps) while still skipping the log-tree reduce
+            @pl.when(jnp.logical_not(last_exec))
+            def _zero_dots():
+                for k in range(8):
+                    dots_ref[k] = jnp.zeros((), dots_ref.dtype)
         return
 
-    @pl.when(last_exec)
-    def _emit_dots():
-        s = jnp.sum(total, axis=1)  # (8,) cross-lane
-        if not recurrence:
-            # distributed path: emit the raw local partial sums; the scalar
-            # recurrence runs at XLA level after the one 7-scalar psum
-            for k in range(8):
-                dots_ref[k] = s[k]
-        else:
-            sc = scalar_recurrence(s, alpha, beta, scal_ref[4])
-            for k in range(8):
-                dots_ref[k] = sc[k]
-
-    if "zerodots" in ablate:
-        # hypothesis arm for the lazy-dots p>=4 regression: a
-        # conditionally-written constant-index output block may force
-        # Mosaic to treat dots_ref as live across grid steps; writing
-        # (dead) zeros on the non-last steps keeps the block
-        # unconditionally written while still skipping the log-tree
-        # reduce + recurrence on all but the final step
-        @pl.when(jnp.logical_not(last_exec))
-        def _zero_dots():
-            for k in range(8):
-                dots_ref[k] = jnp.zeros((), dots_ref.dtype)
+    # default: eager every-step emission (round-1..4 behavior, re-validated)
+    s = jnp.sum(total, axis=1)  # (8,) cross-lane
+    if not recurrence:
+        # distributed path: emit the raw local partial sums; the scalar
+        # recurrence runs at XLA level after the one 7-scalar psum
+        for k in range(8):
+            dots_ref[k] = s[k]
+        return
+    sc = scalar_recurrence(s, alpha, beta, scal_ref[4])
+    for k in range(8):
+        dots_ref[k] = sc[k]
 
 
 def scalar_recurrence(s, alpha, beta, parity):

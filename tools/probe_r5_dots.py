@@ -8,7 +8,8 @@ count is large exactly where the per-step work is small (p=1 s=17:
 unexplained 160 us iteration-minus-matvec gap (VERDICT r4 weak 2).  The
 kernel now runs that phase under ``pl.when(last executed step)`` — an
 exact transformation (the discarded writes were dead) — with the old
-behavior kept as the ``eagerdots`` ablation arm for this A/B.
+behavior (eager, now the shipping default after this A/B measured the
+lazy form slower) vs the ``lazydots``/``zerodots`` ablation arms.
 
 Interleaved A/B (eager vs lazy), two-chain slope, shipping configs:
   p=1 s=17, p=2 s=15, p=4 s=13 on split2m; p=4 s=13 on bf16.
@@ -107,7 +108,7 @@ def main():
 
     pts = [("split2m", 1, 17), ("split2m", 2, 15), ("split2m", 4, 13),
            ("bf16", 4, 13), ("split2m", 9, 10)]
-    ARMS = [("eager", ("eagerdots",)), ("lazy", ()),
+    ARMS = [("eager", ()), ("lazy", ("lazydots",)),
             ("zero", ("zerodots",))]
     arms = {}
     for prec, p, s in pts:
