@@ -105,18 +105,29 @@ def main():
         metric = resolve_metric("auto", "fused", "pieces", factor, p,
                                 precision="split2m")
         log(f"# p={p} s={s} factor={factor} metric={metric}")
+        built = []
         for name, abl in ABL:
             if metric != "onthefly" and ("invert" in abl or "rebuild" in abl):
                 continue
             try:
-                step, st = make_step(p, s, factor, metric, abl)
-                # two interleav-ish repeats to stabilize
-                t = min(timing.time_scan_fetch(step, st, inner=25, repeats=1)
-                        for _ in range(2))
-                log(f"  p={p} {name:9s} {t*1e6:8.1f} us/it")
+                built.append((name, make_step(p, s, factor, metric, abl)))
             except Exception:
-                log(f"  p={p} {name:9s} FAILED")
+                log(f"  p={p} {name:9s} BUILD FAILED")
                 log(traceback.format_exc())
+        # interleaved rounds, inner=50 (the inner=25 slope is jitter-
+        # dominated on the tunneled backend: see PROBE_R5_COFACTOR run1)
+        res = {}
+        for rnd in range(3):
+            for name, (step, st) in built:
+                try:
+                    t = timing.time_scan_fetch(step, st, inner=50, repeats=3)
+                    res[name] = min(res.get(name, float("inf")), t)
+                except Exception:
+                    log(f"  p={p} {name:9s} FAILED")
+                    log(traceback.format_exc())
+        for name, _ in ABL:
+            if name in res:
+                log(f"  p={p} {name:9s} {res[name]*1e6:8.1f} us/it")
 
     ok, cached, fresh = timing.latency_recheck()
     log(f"# latency recheck: {'ok' if ok else 'REJECTED'} "

@@ -89,11 +89,13 @@ def main():
             log(f"# point {prec} p={p} s={s}: build FAILED")
             log(traceback.format_exc())
     best = {}
-    for rnd in range(3):
+    # inner=50: the inner=25 slope is jitter-dominated on the tunneled
+    # backend (see PROBE_R5_COFACTOR run1); 5 rounds for decision grade
+    for rnd in range(5):
         for key, (a_step, a_st, b_step, b_st) in arms.items():
             prec, p, s = key
-            ta = timing.time_scan_fetch(a_step, a_st, inner=25, repeats=3)
-            tb = timing.time_scan_fetch(b_step, b_st, inner=25, repeats=3)
+            ta = timing.time_scan_fetch(a_step, a_st, inner=50, repeats=3)
+            tb = timing.time_scan_fetch(b_step, b_st, inner=50, repeats=3)
             ba, bb = best.get(key, (float("inf"), float("inf")))
             best[key] = (min(ba, ta), min(bb, tb))
             log(f"  round {rnd}  {prec:8s} p={p} s={s}  "

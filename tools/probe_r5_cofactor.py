@@ -96,13 +96,17 @@ def main():
             log(f"# point {prec} p={p} s={s}: build FAILED")
             log(traceback.format_exc())
     best = {}
-    for rnd in range(3):
+    # run1 used inner=25: ~5 ms of chain work vs the ~25 ms tunnel fixed
+    # cost per chain made the slope jitter-dominated (base 2.9-418 us/it
+    # scatter at one point).  inner=50 doubles the signal (matches
+    # probe_r5_dots, whose 8-round table was decision-grade).
+    for rnd in range(5):
         for key, built in arms.items():
             prec, p, s = key
             row = []
             for fname, _ in FORMS:
                 step, st = built[fname]
-                t = timing.time_scan_fetch(step, st, inner=25, repeats=3)
+                t = timing.time_scan_fetch(step, st, inner=50, repeats=3)
                 b = best.setdefault(key, {})
                 b[fname] = min(b.get(fname, float("inf")), t)
                 row.append(f"{fname} {t*1e6:7.1f}")
