@@ -165,6 +165,29 @@ def resolve_metric(metric: str, solver: str, windowing: str, factor: str,
     return "precomputed"
 
 
+def resolve_cofactor(cofactor: str, degree: int, factor: str, metric: str,
+                     precision: str = "split2m") -> str:
+    """Resolve cofactor='auto' to the measured-optimal inversion chain.
+
+    The on-the-fly rebuild's 3x3 inversion + metric assembly can run as
+    the adjugate-of-J chain ('adjj', the reference's ``do_invert`` form,
+    ``poisson_operator.h:27-63``) or as G = w adj(J^T J) rsqrt(det C)
+    ('jtj') — mathematically identical (C^{-1} = J^{-1} J^{-T},
+    det C = det(J)^2), ~12% fewer VPU ops, an rsqrt instead of a divide.
+    Interleaved inner=50 slope A/Bs (tools/PROBE_R5_COFACTOR.txt,
+    PROBE_R5_JTJ2.txt) measured jtj faster at the mid/high TWOSTAGE
+    degrees and slower/neutral elsewhere; iteration histories at the
+    convergent points are in class (itCG identical at p=4 s=7 and
+    p=6 s=4).  The precomputed-metric path has no inversion in-kernel —
+    'adjj' is returned as the inert default there.
+    """
+    if cofactor != "auto":
+        return cofactor
+    if metric != "onthefly" or factor != "twostage":
+        return "adjj"
+    return "jtj" if degree >= 6 else "adjj"
+
+
 def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             backend: str = "structured", verbose: bool = False,
             precision: str = "highest", windowing: str = "reshape",
@@ -173,7 +196,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
             x_dtype=None,
             solve_repeats: int = 4, matvec_repeats: int = 2,
             matvec_inner: int = 50, problem=None,
-            metric: str = "auto") -> RunResult:
+            metric: str = "auto", cofactor: str = "auto") -> RunResult:
     """Set up and time one (p, s) benchmark point (``benchmark.h:50-226``).
 
     ``factor="auto"`` picks the measured-optimal contraction factorization
@@ -192,6 +215,8 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
                             solver=solver, metric=metric)
     metric = resolve_metric(metric, solver, windowing, factor, degree,
                             precision=eff_prec)
+    cofactor = resolve_cofactor(cofactor, degree, factor, metric,
+                                precision=eff_prec)
 
     from mf_data_locality_tpu.models.bp4 import _VMULT
     from mf_data_locality_tpu.solvers import cg, cg_fused, cg_merged
@@ -205,7 +230,7 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         problem = bp4.build(s, degree, dtype=dtype, backend=backend,
                             precision=precision, windowing=windowing,
                             metric_dtype=metric_dtype, factor=factor,
-                            metric=metric)
+                            metric=metric, cofactor=cofactor)
     elif backend == "pallas":
         # a prebuilt problem must match the configuration the timings will
         # be labeled with — a mismatch would silently report the wrong
@@ -221,6 +246,10 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         if getattr(pop, "precision", precision) != precision:
             raise ValueError(f"prebuilt problem has precision="
                              f"{pop.precision!r}, call passed {precision!r}")
+        if getattr(pop, "cofactor", "adjj") != cofactor:
+            raise ValueError(f"prebuilt problem has cofactor="
+                             f"{getattr(pop, 'cofactor', 'adjj')!r}, call "
+                             f"resolved {cofactor!r}")
     vmult_fn = _VMULT[backend]
     if verbose:
         # reference verbose mode: diagonal norm + setup time
@@ -513,6 +542,14 @@ def main(argv: list[str] | None = None) -> None:
                          "perturbation vs exact f32, measured 6-8e-6) — "
                          "Mosaic has no exact-f32 matmul inside this "
                          "kernel")
+    ap.add_argument("--cofactor", choices=["auto", "adjj", "jtj"],
+                    default="auto",
+                    help="onthefly rebuild's 3x3 inversion chain: adjj = "
+                         "adjugate-of-J + divide (do_invert form, "
+                         "poisson_operator.h:27-63); jtj = "
+                         "adj(J^T J) rsqrt(det) — identical algebra, fewer "
+                         "VPU ops; auto = jtj where measured faster "
+                         "(benchmark.resolve_cofactor)")
     ap.add_argument("--layers-per-step", type=int, default=1,
                     help="z-cell layers per fused-kernel grid step")
     ap.add_argument("--factor", choices=["auto", "dense", "twostage"],
@@ -599,7 +636,8 @@ def main(argv: list[str] | None = None) -> None:
                         x_dtype=(jnp.bfloat16 if args.x_dtype == "bf16"
                                  else None),
                         metric={"auto": "auto", "qpoint": "precomputed",
-                                "onthefly": "onthefly"}[args.geometry])
+                                "onthefly": "onthefly"}[args.geometry],
+                        cofactor=args.cofactor)
         print(r.row() + ("" if r.converged else "   [not converged]"))
 
 

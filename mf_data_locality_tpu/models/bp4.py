@@ -91,7 +91,8 @@ def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
           precision: str = "highest",
           windowing: str = "reshape", metric_dtype=None,
           factor: str = "dense",
-          metric: str = "precomputed") -> BP4Problem:
+          metric: str = "precomputed",
+          cofactor: str = "adjj") -> BP4Problem:
     layout = DofLayout(BoxMesh.from_s(s), degree)
 
     # RHS: dof % 8 on unconstrained DoFs, components interleaved per node.
@@ -124,7 +125,7 @@ def build(s: int, degree: int, dtype=jnp.float32, n_components: int = 3,
             op = laplace_pallas.make_pallas_operator(
                 layout, n_q=n_q, dtype=dtype, precision=precision,
                 windowing=windowing, metric_dtype=metric_dtype,
-                factor=factor, metric=metric)
+                factor=factor, metric=metric, cofactor=cofactor)
         return BP4Problem(layout, op, inv_diag[None, :],
                           jnp.asarray(b, dtype=dtype), n_components, backend)
     if backend == "general":

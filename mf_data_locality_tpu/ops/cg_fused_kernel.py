@@ -265,6 +265,21 @@ def _metric_onthefly(c24, geo, ablate=()):
     return jnp.concatenate(rows, axis=0)
 
 
+def _effective_ablate(op, ablate):
+    """Fold the operator's cofactor-form choice into the kernel arm set.
+
+    ``op.cofactor == "jtj"`` selects the adj(J^T J) rsqrt(det) rebuild
+    chain (mathematically identical to the adjugate-of-J form; measured
+    faster at the mid/high twostage degrees — tools/PROBE_R5_COFACTOR.txt,
+    PROBE_R5_JTJ2.txt).  An explicit cofactor/rebuild arm already in
+    ``ablate`` wins (probe scripts force "adjj" via the empty base arm by
+    building the operator with cofactor="adjj")."""
+    if (getattr(op, "cofactor", "adjj") == "jtj"
+            and not ({"jtj", "arecip", "invert", "rebuild"} & set(ablate))):
+        return tuple(ablate) + ("jtj",)
+    return tuple(ablate)
+
+
 def _stream_parts(b: jax.Array, nsplit: int):
     """Per-apply stream split matching :func:`_prestack`'s segment order.
 
@@ -1089,7 +1104,7 @@ def piece_vmult(op: PallasOperatorData, n_nodes_axis, d, zd,
         else op.precision
 
     kfn = functools.partial(_matvec_kernel, prec, n_comp, p,
-                            (ncz, ncy, ncx), acc, (), 1,
+                            (ncz, ncy, ncx), acc, _effective_ablate(op, ()), 1,
                             ncz_global if ncz_global is not None else ncz,
                             compact, op.factor, zmats, nsplit)
     if geo_op is None:
@@ -1374,7 +1389,7 @@ def fused_cg_iteration(op: PallasOperatorData, n_nodes_axis,
 
     base = functools.partial(
         _fused_cg_kernel, prec, n_comp, p,
-        (ncz, ncy, ncx), acc, store, _ablate, n_rep,
+        (ncz, ncy, ncx), acc, store, _effective_ablate(op, _ablate), n_rep,
         ncz_global if ncz_global is not None else ncz, recurrence, compact,
         op.factor, zmats, i0,
         ncy_global if ncy_global is not None else ncy, y_split,

@@ -173,6 +173,13 @@ class PallasOperatorData:
     # utilization, (p+1)x the FLOPs); "twostage": z on the VPU + 2D MXU
     # stage (minimal FLOPs, K = (p+1)^2) — measured per (p, precision)
     factor: str = field(metadata=dict(static=True), default="dense")
+    # on-the-fly rebuild's inversion chain: "adjj" = adjugate-of-J +
+    # divide (the reference's do_invert form, poisson_operator.h:27-63);
+    # "jtj" = adj(J^T J) rsqrt(det) — mathematically identical, fewer VPU
+    # ops, measured faster at the mid/high twostage degrees (see
+    # benchmark.resolve_cofactor for the measured dispatch).  Ignored by
+    # the precomputed-metric path.
+    cofactor: str = field(metadata=dict(static=True), default="adjj")
 
 
 def _metric_entries(coeffs: np.ndarray, q_points: np.ndarray,
@@ -243,7 +250,8 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
                          precision: str = "highest",
                          windowing: str = "reshape",
                          metric_dtype=None,
-                         factor: str = "dense") -> PallasOperatorData:
+                         factor: str = "dense",
+                         cofactor: str = "adjj") -> PallasOperatorData:
     """Build the Pallas operator.
 
     ``metric``: "precomputed" stores the 6 metric entries per q-point
@@ -356,6 +364,8 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         mask_mode = "none"
     if factor not in ("dense", "twostage"):
         raise ValueError(f"unknown factor mode {factor!r}")
+    if cofactor not in ("adjj", "jtj"):
+        raise ValueError(f"unknown cofactor mode {cofactor!r}")
     mats2d = None
     if windowing == "pieces":
         # always built (tiny): lets solvers A/B the factorization without
@@ -381,6 +391,7 @@ def make_pallas_operator(layout: DofLayout, n_q: int | None = None,
         mask_mode=mask_mode,
         mats2d=mats2d,
         factor=factor,
+        cofactor=cofactor,
     )
 
 

@@ -268,3 +268,69 @@ def test_twostage_fused_solve_matches_dense(s, p):
     np.testing.assert_allclose(ht, hd, rtol=1e-6, atol=1e-8 * hd[0])
     xd, xt = np.asarray(rd.x), np.asarray(rt.x)
     np.testing.assert_allclose(xt, xd, atol=1e-11 * max(1.0, np.abs(xd).max()))
+
+
+@pytest.mark.parametrize("s,p,factor", [(2, 2, "dense"), (4, 3, "twostage")])
+def test_cofactor_jtj_piece_vmult_matches_adjj(s, p, factor):
+    """jtj inversion chain (G = w adj(J^T J) rsqrt(det C)) is algebraically
+    identical to the adjugate-of-J chain (the reference's ``do_invert``,
+    ``poisson_operator.h:27-63``) — f64 interpret parity to roundoff."""
+    from mf_data_locality_tpu.ops import cg_fused_kernel as fk
+
+    layout = DofLayout(BoxMesh.from_s(s), p)
+    u = _rand_u(layout)
+    outs = {}
+    for cofactor in ("adjj", "jtj"):
+        op = lp.make_pallas_operator(layout, dtype=jnp.float64,
+                                     precision="highest",
+                                     windowing="pieces", factor=factor,
+                                     metric="onthefly", cofactor=cofactor)
+        uu = u * op.mask.astype(u.dtype)
+        d = fk.to_piece_state(uu, p)
+        zd = fk.zplanes_init(d, p)
+        h, _ = fk.piece_vmult(op, layout.n_nodes_axis, d, zd, interpret=True)
+        outs[cofactor] = np.asarray(
+            fk.from_piece_state(h, p, layout.n_nodes_axis))
+    scale = np.abs(outs["adjj"]).max()
+    assert np.abs(outs["adjj"] - outs["jtj"]).max() < 1e-12 * scale
+
+
+def test_cofactor_jtj_fused_solve_matches_adjj():
+    """Full fused solve with the jtj chain: iteration-for-iteration parity
+    with the adjugate chain in f64 (same recurrence, roundoff-only drift)."""
+    from mf_data_locality_tpu.solvers import cg_fused
+
+    results = {}
+    for cofactor in ("adjj", "jtj"):
+        problem = bp4.build(5, 4, dtype=jnp.float64, backend="pallas",
+                            precision="highest", windowing="pieces",
+                            factor="twostage", metric="onthefly",
+                            cofactor=cofactor)
+        lataxis = problem.layout.n_nodes_axis
+        results[cofactor] = cg_fused.fused_merged_cg_solve(
+            problem.op, lataxis, problem.b.reshape((3,) + lataxis),
+            problem.inv_diag.reshape((1,) + lataxis))
+    ra, rj = results["adjj"], results["jtj"]
+    assert int(ra.n_iterations) == int(rj.n_iterations)
+    n = int(ra.n_iterations) + 1
+    ha = np.asarray(ra.res_history)[:n]
+    hj = np.asarray(rj.res_history)[:n]
+    np.testing.assert_allclose(hj, ha, rtol=1e-6, atol=1e-8 * ha[0])
+    xa, xj = np.asarray(ra.x), np.asarray(rj.x)
+    np.testing.assert_allclose(xj, xa, atol=1e-11 * max(1.0, np.abs(xa).max()))
+
+
+def test_resolve_cofactor_dispatch():
+    """The measured jtj dispatch rule (tools/PROBE_R5_COFACTOR.txt,
+    PROBE_R5_JTJ2.txt): jtj only on the onthefly+twostage path at the
+    degrees where it won the interleaved A/B; explicit requests pass
+    through; the precomputed stream has no in-kernel inversion."""
+    from mf_data_locality_tpu.benchmark import resolve_cofactor
+
+    assert resolve_cofactor("jtj", 4, "twostage", "onthefly") == "jtj"
+    assert resolve_cofactor("adjj", 9, "twostage", "onthefly") == "adjj"
+    assert resolve_cofactor("auto", 4, "twostage", "onthefly") == "adjj"
+    assert resolve_cofactor("auto", 6, "twostage", "onthefly") == "jtj"
+    assert resolve_cofactor("auto", 9, "twostage", "onthefly") == "jtj"
+    assert resolve_cofactor("auto", 9, "dense", "onthefly") == "adjj"
+    assert resolve_cofactor("auto", 6, "twostage", "precomputed") == "adjj"
