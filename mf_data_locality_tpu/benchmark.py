@@ -175,17 +175,20 @@ def resolve_cofactor(cofactor: str, degree: int, factor: str, metric: str,
     ('jtj') — mathematically identical (C^{-1} = J^{-1} J^{-T},
     det C = det(J)^2), ~12% fewer VPU ops, an rsqrt instead of a divide.
     Interleaved inner=50 slope A/Bs (tools/PROBE_R5_COFACTOR.txt,
-    PROBE_R5_JTJ2.txt) measured jtj faster at the mid/high TWOSTAGE
-    degrees and slower/neutral elsewhere; iteration histories at the
-    convergent points are in class (itCG identical at p=4 s=7 and
-    p=6 s=4).  The precomputed-metric path has no inversion in-kernel —
-    'adjj' is returned as the inert default there.
+    PROBE_R5_JTJ2.txt) measured jtj faster at every TWOSTAGE degree
+    p >= 5 — trimmed means -3.6% (p=7) to -11% (p=6), neutral only at
+    p=8 (+0.1%), and -7%/-4% on the bf16 rung at p=9 — but slower at
+    p=4 twostage (+8..18%) and neutral on the dense path (p=2).
+    Iteration histories at the convergent points are in class (itCG
+    identical at p=4 s=7 and p=6 s=4, history dev <= 4e-2).  The
+    precomputed-metric path has no inversion in-kernel — 'adjj' is
+    returned as the inert default there.
     """
     if cofactor != "auto":
         return cofactor
     if metric != "onthefly" or factor != "twostage":
         return "adjj"
-    return "jtj" if degree >= 6 else "adjj"
+    return "jtj" if degree >= 5 else "adjj"
 
 
 def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,

@@ -330,7 +330,8 @@ def test_resolve_cofactor_dispatch():
     assert resolve_cofactor("jtj", 4, "twostage", "onthefly") == "jtj"
     assert resolve_cofactor("adjj", 9, "twostage", "onthefly") == "adjj"
     assert resolve_cofactor("auto", 4, "twostage", "onthefly") == "adjj"
+    assert resolve_cofactor("auto", 5, "twostage", "onthefly") == "jtj"
     assert resolve_cofactor("auto", 6, "twostage", "onthefly") == "jtj"
-    assert resolve_cofactor("auto", 9, "twostage", "onthefly") == "jtj"
+    assert resolve_cofactor("auto", 11, "twostage", "onthefly") == "jtj"
     assert resolve_cofactor("auto", 9, "dense", "onthefly") == "adjj"
     assert resolve_cofactor("auto", 6, "twostage", "precomputed") == "adjj"
