@@ -76,6 +76,11 @@ POINTS = [
     ("p1_pre_vs_otf", 1, 14, "split2m",
      dict(factor="dense", metric="precomputed"),
      dict(factor="dense", metric="onthefly")),
+    # jtj cofactor chain wins at twostage+onthefly p>=5
+    # (PROBE_R5_COFACTOR/PROBE_R5_JTJ2; p=4 keeps adjj)
+    ("p6_jtj_vs_adjj", 6, 11, "split2m",
+     dict(factor="twostage", metric="onthefly", cofactor="jtj"),
+     dict(factor="twostage", metric="onthefly", cofactor="adjj")),
 ]
 
 
@@ -101,7 +106,8 @@ def make_iteration_step(p, s, precision, cfg):
                    windowing="pieces",
                    metric_dtype=(jnp.bfloat16 if precision == "bf16"
                                  else None),
-                   factor=cfg["factor"], metric=cfg["metric"])
+                   factor=cfg["factor"], metric=cfg["metric"],
+                   cofactor=cfg.get("cofactor", "adjj"))
     op_c = jax.tree.map(
         lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, pb.op)
     lat = pb.layout.n_nodes_axis
@@ -161,10 +167,12 @@ def main():
         step_b, st_b = make_iteration_step(p, s, rung, cfg_b)
         t_a, t_b = float("inf"), float("inf")
         for _ in range(args.rounds):  # interleaved: session drift cancels
+            # inner=50/repeats=2: inner=20 repeats=1 slopes are tunnel-
+            # jitter-dominated (PROBE_R5_COFACTOR run1) and would false-FAIL
             t_a = min(t_a, timing.time_scan_fetch(step_a, st_a,
-                                                  inner=20, repeats=1))
+                                                  inner=50, repeats=2))
             t_b = min(t_b, timing.time_scan_fetch(step_b, st_b,
-                                                  inner=20, repeats=1))
+                                                  inner=50, repeats=2))
         ratio = t_a / t_b
         results[name] = dict(t_a=t_a, t_b=t_b, ratio=ratio)
         if args.record or name not in bands:
