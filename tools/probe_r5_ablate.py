@@ -50,10 +50,12 @@ def make_step(p, s, factor, metric, ablate):
 
     from mf_data_locality_tpu.models import bp4
     from mf_data_locality_tpu.ops import cg_fused_kernel as fk
+    from mf_data_locality_tpu.benchmark import resolve_cofactor
 
     pb = bp4.build(s, p, dtype=jnp.float32, backend="pallas",
                    precision="split2m", windowing="pieces",
-                   factor=factor, metric=metric)
+                   factor=factor, metric=metric,
+                   cofactor=resolve_cofactor("auto", p, factor, metric))
     op_c = jax.tree.map(
         lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, pb.op)
     lat = pb.layout.n_nodes_axis
