@@ -330,8 +330,12 @@ def run_one(degree: int, s: int, solver: str = "merged", dtype=jnp.float32,
         return f
 
     chain1, chain2 = make_solve_chain(1), make_solve_chain(2)
-    t1 = timing.time_min_fetch(chain1, repeats=solve_repeats, warmup=1)
-    t2 = timing.time_min_fetch(chain2, repeats=solve_repeats, warmup=1)
+    # alternating floor pair: the tunnel's per-call fixed cost drifts by
+    # several ms on minute timescales; sampling the 1- and 2-solve chains
+    # back-to-back keeps the drift common-mode in the slope subtraction
+    # (timing.time_pair_fetch; the smoke's recorded-band post-mortem)
+    t1, t2 = timing.time_pair_fetch(chain1, chain2,
+                                    repeats=solve_repeats, warmup=1)
     solver_time = t2 - t1
     solver_time_wall = t1
     if not (solver_time > 0

@@ -77,6 +77,38 @@ def time_min_fetch(fn: Callable[[], jax.Array], repeats: int,
     return max(best - round_trip_latency(), 1e-9)
 
 
+def time_pair_fetch(fn1: Callable[[], jax.Array], fn2: Callable[[], jax.Array],
+                    repeats: int, warmup: int = 1) -> tuple[float, float]:
+    """Floor pair with ALTERNATING samples: min over ``repeats`` of the wall
+    time of ``float(fn1())`` / ``float(fn2())``, sampled back-to-back,
+    latency-corrected.
+
+    For two-chain slope protocols.  The tunneled backend's per-call fixed
+    cost (~22-32 ms here) is NON-STATIONARY — it drifts by several ms on
+    minute timescales (measured: a trivial-fetch latency probe returning
+    32 ms while a 50-iteration chain fetch minutes later took 28 ms).  A
+    slope computed from floors measured in two separate blocks absorbs
+    that drift into the subtraction; at small problem sizes the drift
+    (±2-5 ms) exceeds the signal (a 50-iteration chain's ~3-5 ms of
+    compute) and fabricates slopes as absurd as 6 us/it for a 95 us/it
+    config.  Alternating keeps each fn1/fn2 sample pair time-adjacent, so
+    the drift is common-mode in the floor difference.
+    """
+    for _ in range(warmup):
+        float(fn1())
+        float(fn2())
+    b1 = b2 = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn1())
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(fn2())
+        b2 = min(b2, time.perf_counter() - t0)
+    lat = round_trip_latency()
+    return max(b1 - lat, 1e-9), max(b2 - lat, 1e-9)
+
+
 def time_scan_fetch(step: Callable[[jax.Array], jax.Array], x0: jax.Array,
                     inner: int, repeats: int, warmup: int = 1) -> float:
     """Time one application of ``step`` by scanning chained applications
@@ -110,14 +142,67 @@ def time_scan_fetch(step: Callable[[jax.Array], jax.Array], x0: jax.Array,
 
     chain = make_chain(inner)
     chain2 = make_chain(2 * inner)
-    t1 = time_min_fetch(lambda: chain(x0), repeats=repeats, warmup=warmup)
-    t2 = time_min_fetch(lambda: chain2(x0), repeats=repeats, warmup=warmup)
+    # alternating floor pair: the tunneled fixed cost drifts by ms on
+    # minute timescales, so the two floors must be sampled time-adjacent
+    # for the subtraction to cancel it (see time_pair_fetch)
+    t1, t2 = time_pair_fetch(lambda: chain(x0), lambda: chain2(x0),
+                             repeats=repeats, warmup=warmup)
     slope = (t2 - t1) / inner
     if slope > 0 and t2 > 0.2 * round_trip_latency():
         return slope
     long = make_chain(inner * 20)
     t = time_min_fetch(lambda: long(x0), repeats=repeats, warmup=warmup)
     return t / (inner * 20)
+
+
+def scan_chain_pair(step: Callable[[jax.Array], jax.Array], x0,
+                    inner: int, repeats: int, warmup: int = 1
+                    ) -> Callable[[], tuple[float, float]]:
+    """Return a zero-arg callable producing one alternating floor sample
+    ``(t_L, t_2L)`` of the ``inner``- and ``2*inner``-long chains
+    (``time_pair_fetch`` semantics; chains jitted once at build).
+
+    For interleaved A/B protocols that aggregate across rounds: accumulate
+    the MINIMUM of each chain's wall time over all rounds and take one
+    slope of the floors, ``slope_of_floors(min t_L, min t_2L, inner)``.
+    Two aggregation hazards, both measured in this repo's smoke history:
+    (a) min of per-round SLOPES is biased downward — one lucky 2L / unlucky
+    L chain fabricates an undershooting slope and min keeps it; (b) floors
+    sampled in separate per-chain blocks absorb the tunnel's non-stationary
+    per-call fixed cost into the subtraction (see ``time_pair_fetch``).
+    Warmup runs once, on the first call.
+    """
+
+    def make_chain(length):
+        @jax.jit
+        def chain(x):
+            def body(c, _):
+                return step(c), None
+            out, _ = jax.lax.scan(body, x, None, length=length)
+            return jax.tree.leaves(out)[0].ravel()[0]
+        return chain
+
+    chain = make_chain(inner)
+    chain2 = make_chain(2 * inner)
+    warm = [warmup]
+
+    def sample() -> tuple[float, float]:
+        w, warm[0] = warm[0], 0
+        return time_pair_fetch(lambda: chain(x0), lambda: chain2(x0),
+                               repeats=repeats, warmup=w)
+
+    return sample
+
+
+def slope_of_floors(t_l: float, t_2l: float, inner: int) -> float:
+    """Per-apply slope from cross-round chain floors, with the same
+    degenerate-slope fallback as ``time_scan_fetch`` (a non-positive slope
+    means the problem finished inside the jitter floor; the long-chain
+    quotient is then the conservative estimate)."""
+    slope = (t_2l - t_l) / inner
+    if slope > 0 and t_2l > 0.2 * round_trip_latency():
+        return slope
+    return t_2l / (2 * inner)
 
 
 def measure_hbm_bandwidth(nbytes: int = 1 << 28) -> float:

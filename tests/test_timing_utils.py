@@ -43,6 +43,36 @@ def test_time_scan_fetch_shape_preserving_step():
     assert t > 0
 
 
+def test_scan_chain_pair_floor_slope_protocol():
+    # the floor-based A/B protocol: alternating (t_L, t_2L) samples,
+    # per-chain-length minima across rounds, then one slope — the sampler
+    # must be re-invocable and both floors positive
+    x = jnp.ones((64, 64))
+    sample = timing.scan_chain_pair(lambda v: v * 1.0001, x,
+                                    inner=5, repeats=2)
+    s1a, s2a = sample()
+    s1b, s2b = sample()
+    t1, t2 = min(s1a, s1b), min(s2a, s2b)
+    assert t1 > 0 and t2 > 0
+    t = timing.slope_of_floors(t1, t2, inner=5)
+    assert t > 0
+
+
+def test_time_pair_fetch_alternates_and_corrects():
+    f1 = jax.jit(lambda v: jnp.sum(v))
+    f2 = jax.jit(lambda v: jnp.sum(v * 2.0))
+    x = jnp.ones((256,))
+    t1, t2 = timing.time_pair_fetch(lambda: f1(x), lambda: f2(x), repeats=2)
+    assert t1 > 0 and t2 > 0
+
+
+def test_slope_of_floors_degenerate_fallback():
+    # non-positive slope (jitter floor) must fall back to the long-chain
+    # quotient, never return <= 0
+    timing.round_trip_latency(refresh=True)
+    assert timing.slope_of_floors(1.0, 0.5, inner=10) == 0.5 / 20
+
+
 def test_bandwidth_measurement_plausible():
     bw = timing.measure_hbm_bandwidth(nbytes=1 << 22)
     assert bw > 1e8  # > 0.1 GB/s on any real machine

@@ -122,19 +122,24 @@ def main():
     for p in [int(x) for x in args.degrees.split(",")]:
         s = LADDER[p]
         try:
-            from mf_data_locality_tpu.benchmark import (resolve_factor,
+            from mf_data_locality_tpu.benchmark import (resolve_cofactor,
+                                                        resolve_factor,
                                                         resolve_metric)
 
             eff_prec = "bf16" if args.dtype == "bf16" else args.precision
-            factor = resolve_factor("auto", p, "pieces",
-                                    precision=eff_prec, solver="fused")
             gm = {"auto": "auto", "qpoint": "precomputed",
                   "onthefly": "onthefly"}[args.geometry]
+            factor = resolve_factor("auto", p, "pieces",
+                                    precision=eff_prec, solver="fused",
+                                    metric=gm)
             gm = resolve_metric(gm, "fused", "pieces", factor, p,
                                 precision=eff_prec)
+            cof = resolve_cofactor("auto", p, factor, gm,
+                                   precision=eff_prec)
             pb = bp4.build(s, p, dtype=vdt, backend="pallas",
                            precision=args.precision, windowing="pieces",
-                           metric_dtype=mdt, factor=factor, metric=gm)
+                           metric_dtype=mdt, factor=factor, metric=gm,
+                           cofactor=cof)
             r = run_one(p, s, solver="fused", dtype=vdt,
                         backend="pallas", precision=args.precision,
                         windowing="pieces", metric_dtype=mdt,

@@ -13,10 +13,17 @@ bands:
   FAIL   the winner flipped — the dispatch rule is stale; rerun the full
          probe for that point before regenerating tables
 
-Timing is the two-chain slope over chained fused iterations
-(``timing.time_scan_fetch``), so the per-chain fixed cost and the latency
-correction cancel — this smoke is immune to the contaminated-host failure
-mode by construction.
+Timing is the two-chain slope over chained fused iterations, with the
+L/2L chains sampled as ALTERNATING back-to-back pairs and the slope taken
+over cross-round chain floors (``timing.scan_chain_pair`` +
+``slope_of_floors``): the per-chain fixed cost and the latency correction
+cancel in the subtraction, pair-adjacency keeps the tunnel's
+non-stationary fixed-cost drift common-mode, and taking minima per chain
+length before the one subtraction removes the downward bias of
+min-of-per-round-slopes.  Both hazards produced physically impossible
+recorded bands (6 and 12 us/it for a ~95 us/it config) before this form.
+This smoke is immune to the contaminated-host failure mode by
+construction.
 
 Usage (idle host, ~minutes once the kernels are in the compile cache)::
 
@@ -52,8 +59,15 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # smoke detects drift, it does not re-derive the ladder-max decision.
 POINTS = [
     # p=3 carve-out: dense+precomputed must keep beating twostage+onthefly
-    # (the one convergence-carved dispatch row, PROBE_PROD/PRODHIST)
-    ("p3_dense-pre_vs_two-otf", 3, 12, "split2m",
+    # (the one convergence-carved dispatch row, PROBE_PROD/PRODHIST).
+    # MUST run at the ladder size s=14: the decision regime shifts with
+    # size — at s=12 the winner genuinely flips (twostage+onthefly ~55
+    # us/it vs dense+precomputed ~91) and at s=13 it is a coin-flip
+    # (114 vs 109, alternating-pair protocol), while at the shipping
+    # s=14 the interleaved solve A/B (PROBE_R5_P3AB) has dense+
+    # precomputed winning 190.5 vs 222.5 us/it.  The smoke must smoke
+    # THE decision, not a half-size proxy of it.
+    ("p3_dense-pre_vs_two-otf", 3, 14, "split2m",
      dict(factor="dense", metric="precomputed"),
      dict(factor="twostage", metric="onthefly")),
     # p=4 factor on the f32-class rung (PROBE_P4FACTOR interleaved win)
@@ -165,14 +179,29 @@ def main():
     for name, p, s, rung, cfg_a, cfg_b in pts:
         step_a, st_a = make_iteration_step(p, s, rung, cfg_a)
         step_b, st_b = make_iteration_step(p, s, rung, cfg_b)
-        t_a, t_b = float("inf"), float("inf")
+        # Floor-of-alternating-pairs protocol: each sample measures the L-
+        # and 2L-chains BACK-TO-BACK (the tunnel's per-call fixed cost is
+        # non-stationary, drifting several ms on minute timescales — floors
+        # sampled in separate blocks absorb that drift into the slope
+        # subtraction and fabricated 6-12 us/it bands for 95 us/it configs
+        # twice); minima accumulate per chain length across interleaved
+        # rounds (min of per-round SLOPES is biased downward — one lucky
+        # 2L / unlucky L chain poisons it), and ONE slope is taken from
+        # the two floors at the end.  inner=200 keeps the compute signal
+        # (tens of ms) well above the residual intra-pair drift.
+        inner = 200
+        sample_a = timing.scan_chain_pair(step_a, st_a, inner=inner,
+                                          repeats=2)
+        sample_b = timing.scan_chain_pair(step_b, st_b, inner=inner,
+                                          repeats=2)
+        t1a = t2a = t1b = t2b = float("inf")
         for _ in range(args.rounds):  # interleaved: session drift cancels
-            # inner=50/repeats=2: inner=20 repeats=1 slopes are tunnel-
-            # jitter-dominated (PROBE_R5_COFACTOR run1) and would false-FAIL
-            t_a = min(t_a, timing.time_scan_fetch(step_a, st_a,
-                                                  inner=50, repeats=2))
-            t_b = min(t_b, timing.time_scan_fetch(step_b, st_b,
-                                                  inner=50, repeats=2))
+            s1, s2 = sample_a()
+            t1a, t2a = min(t1a, s1), min(t2a, s2)
+            s1, s2 = sample_b()
+            t1b, t2b = min(t1b, s1), min(t2b, s2)
+        t_a = timing.slope_of_floors(t1a, t2a, inner)
+        t_b = timing.slope_of_floors(t1b, t2b, inner)
         ratio = t_a / t_b
         results[name] = dict(t_a=t_a, t_b=t_b, ratio=ratio)
         if args.record or name not in bands:
@@ -191,8 +220,9 @@ def main():
             f"ratio={ratio:.3f}{rec}  {status}")
 
     if args.record or not bands:
+        bands.update(results)  # subset re-records must not clobber the rest
         with open(BANDS, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(bands, f, indent=1)
         log(f"# bands recorded -> {BANDS}")
     else:
         log(f"# overall: {status_all}")
